@@ -1,0 +1,425 @@
+"""Discrete action models (knots) with Gauss-Newton derivatives.
+
+Two knot families, the Crocoddyl-model-stack equivalents:
+
+- classical knot: state x=(q,v) in R^14, control u=tau in R^7.  Semi-implicit
+  Euler over free or contact forward dynamics with the reference's full cost
+  stack (reference _make_dam + IntegratedActionModelEuler,
+  crocoddyl_classical.py:558-728, 542).
+
+- augmented LPF knot: state y=(q,v,tau) in R^21, control w in R^7, with
+  tau+ = alpha*tau + (1-alpha)*w and outer y/w regularization costs
+  (reference _AugmentedLPFActionModel, crocoddyl_force_feedback.py:149-290).
+  Unlike the reference — which pays a per-knot-per-iteration Python callback
+  from C++ — the LPF rows are fused into the same traced function.
+
+Derivatives: dynamics Jacobians (Fx, Fu) and residual Jacobians come from one
+forward-mode ``jax.jacfwd`` over a function returning (xnext, residual dict);
+cost Hessians are assembled Gauss-Newton style exactly as Crocoddyl does
+(activation grad / diagonal Hessian; residual second derivatives dropped).
+Cost scaling mirrors IntegratedActionModelEuler: running knot cost is
+dt * sum(costs); terminal cost is unscaled; the augmented outer costs are
+discrete-level (never dt-scaled), as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.panda import PandaModel
+from ..core.dynamics import fwd_dynamics_free, fwd_dynamics_contact, mass_matrix, bias_forces
+from ..core.kinematics import fk, ee_jacobian
+from ..core.spatial import log3
+from . import activations as act
+from .weights import OCPWeights, ProblemRefs
+
+
+class CostTerm(NamedTuple):
+    weight: float
+    activation: act.Activation
+    dt_scaled: bool         # True: running-knot cost is scaled by dt_ocp
+    terminal: bool          # participates in the terminal knot
+
+
+class KnotDeriv(NamedTuple):
+    xnext: jnp.ndarray
+    cost: jnp.ndarray
+    Fx: jnp.ndarray
+    Fu: jnp.ndarray
+    Lx: jnp.ndarray
+    Lu: jnp.ndarray
+    Lxx: jnp.ndarray
+    Lxu: jnp.ndarray
+    Luu: jnp.ndarray
+
+
+class KnotModel(NamedTuple):
+    """Static bundle of knot callables consumed by the solver.
+
+    calc:      (ref_k, x, u) -> (xnext, cost)
+    diff:      (ref_k, x, u) -> KnotDeriv
+    term_calc: (ref_T, x) -> cost
+    term_diff: (ref_T, x) -> (cost, Lx, Lxx)
+    """
+    calc: Callable
+    diff: Callable
+    term_calc: Callable
+    term_diff: Callable
+    nx: int
+    nu: int
+    u_lb: Tuple[float, ...]
+    u_ub: Tuple[float, ...]
+
+
+# ---------------------------------------------------------------------------
+# residual stacks
+# ---------------------------------------------------------------------------
+
+def _friction_cone_A(mu: float):
+    """Linearized 4-facet outer friction cone rows: A f >= 0 feasible.
+
+    Equivalent of crocoddyl.FrictionCone(R=I, mu, nf=4, inner=False)
+    (crocoddyl_classical.py:999-1018).  Benchmark configs set the cone weight
+    to zero (run_classical.py:292); kept for parity/completeness.
+    """
+    return np.array(
+        [
+            [-1.0, 0.0, mu],
+            [1.0, 0.0, mu],
+            [0.0, -1.0, mu],
+            [0.0, 1.0, mu],
+        ]
+    )
+
+
+def _build_q_soft_barrier(model: PandaModel, margin: float):
+    """Barrier bounds for the joint-limit soft cost.
+
+    Mirrors _make_q_soft_limit_cost (crocoddyl_classical.py:487-519): the
+    residual is x - x_ref with x_ref = (q_mid, 0); bounds shrink by margin.
+    All Panda limits are finite, so the general inf-handling reduces to this.
+    """
+    q_lb = np.asarray(model.q_lower)
+    q_ub = np.asarray(model.q_upper)
+    q_ref = 0.5 * (q_lb + q_ub)
+    lb_q = (q_lb + margin) - q_ref
+    ub_q = (q_ub - margin) - q_ref
+    bad = lb_q > ub_q
+    lb_q[bad] = -1.0e-3
+    ub_q[bad] = 1.0e-3
+    lb = np.concatenate([lb_q, np.full(7, -np.inf)])
+    ub = np.concatenate([ub_q, np.full(7, np.inf)])
+    x_ref = np.concatenate([q_ref, np.zeros(7)])
+    return x_ref, lb, ub
+
+
+def _make_spec(model: PandaModel, W: OCPWeights, surface: bool):
+    """Static cost-term spec: name -> CostTerm. Order fixes residual layout."""
+    nc = 3 if (surface and W.contact_model == "point3d") else 1
+    spec: Dict[str, CostTerm] = {}
+
+    spec["posture"] = CostTerm(W.w_posture, act.quad(), True, True)
+    spec["v_damp"] = CostTerm(
+        W.w_v, act.wquad([0.0] * 7 + list(W.v_damp_weights)), True, True)
+    if W.w_q_soft_limits > 0.0:
+        _, lb, ub = _build_q_soft_barrier(model, W.q_soft_limit_margin)
+        spec["q_soft_limits"] = CostTerm(W.w_q_soft_limits, act.barrier(lb, ub), True, True)
+    spec["ee_ori"] = CostTerm(W.w_ee_ori, act.wquad(W.ori_weights), True, True)
+    spec["w_damp"] = CostTerm(
+        W.w_wdamp, act.wquad([0.0, 0.0, 0.0] + list(W.w_wdamp_weights)), True, True)
+
+    # running-only control costs
+    spec["tau_reg"] = CostTerm(W.w_tau, act.quad(), True, False)
+    if W.w_tau_soft_limits > 0.0:
+        tau_lim = np.asarray(W.tau_limits)
+        margin = min(max(W.tau_soft_limit_margin, 0.0), float(tau_lim.min()) - 1e-6)
+        spec["tau_soft_limits"] = CostTerm(
+            W.w_tau_soft_limits, act.barrier(-tau_lim + margin, tau_lim - margin), True, False)
+
+    if not surface:
+        spec["ee_pos"] = CostTerm(W.w_ee_pos, act.wquad(W.ee_pos_weights), True, True)
+    else:
+        spec["ee_xy"] = CostTerm(W.w_tangent_pos, act.wquad([1.0, 1.0, 0.0]), True, True)
+        spec["ee_vxy"] = CostTerm(
+            W.w_tangent_vel, act.wquad([1.0, 1.0, 0.0, 0.0, 0.0, 0.0]), True, True)
+        if W.w_plane_z > 0.0:
+            spec["plane_z"] = CostTerm(W.w_plane_z, act.wquad([0.0, 0.0, 1.0]), True, True)
+        if W.w_vz > 0.0:
+            spec["vz_damp"] = CostTerm(
+                W.w_vz, act.wquad([0.0, 0.0, 1.0, 0.0, 0.0, 0.0]), True, True)
+        if nc == 3 and W.w_friction_cone > 0.0:
+            eps = max(W.friction_margin, 0.0)
+            spec["friction_cone"] = CostTerm(
+                W.w_friction_cone, act.barrier([eps] * 4, [np.inf] * 4), True, True)
+        if W.w_unilateral > 0.0:
+            if nc == 1:
+                lb, ub = [W.friction_margin], [np.inf]
+            else:
+                lb = [-np.inf, -np.inf, W.friction_margin]
+                ub = [np.inf, np.inf, np.inf]
+            spec["unilateral"] = CostTerm(W.w_unilateral, act.barrier(lb, ub), True, True)
+        if W.w_fn > 0.0:
+            aw = [1.0] if nc == 1 else [0.0, 0.0, 1.0]
+            spec["fn_track"] = CostTerm(W.w_fn, act.wquad(aw), True, True)
+
+    return spec, nc
+
+
+def _classical_raw(model: PandaModel, W: OCPWeights, surface: bool, nc: int,
+                   terminal: bool, ref, x, u):
+    """xnext + residual dict for one classical knot. x: (14,), u: (7,)."""
+    dt = jnp.asarray(W.dt_ocp, x.dtype)
+    q, v = x[:7], x[7:]
+
+    if surface:
+        z_target = ref.p_ref[2] - W.z_press
+        if nc == 1:
+            ref_pos = z_target
+        else:
+            ref_pos = ref.p_ref.at[2].set(z_target)
+        dyn = fwd_dynamics_contact(
+            model, q, v, u, ref_pos=ref_pos, nc1=(nc == 1),
+            baumgarte_kp=W.contact_gains[0], baumgarte_kd=W.contact_gains[1],
+            damping_c=W.contact_inv_damping)
+        acc, force, fk_res = dyn.acc, dyn.force, dyn.fk_res
+    else:
+        fk_res = fk(model, q)
+        acc = fwd_dynamics_free(model, q, v, u)
+        force = None
+
+    v_next = v + dt * acc
+    q_next = q + dt * v_next
+    xnext = jnp.concatenate([q_next, v_next])
+
+    Jp, Jr = ee_jacobian(model, q, fk_res=fk_res)
+    vel6 = jnp.concatenate([Jp @ v, Jr @ v])
+
+    res: Dict[str, jnp.ndarray] = {}
+    res["posture"] = x - ref.x_reg_ref
+    res["v_damp"] = x
+    if W.w_q_soft_limits > 0.0:
+        x_ref_np, _, _ = _build_q_soft_barrier(model, W.q_soft_limit_margin)
+        res["q_soft_limits"] = x - jnp.asarray(x_ref_np, x.dtype)
+    res["ee_ori"] = log3(jnp.swapaxes(ref.R_des, -1, -2) @ fk_res.ee_R)
+    res["w_damp"] = vel6
+    if not terminal:
+        res["tau_reg"] = u - ref.tau_ref
+        if W.w_tau_soft_limits > 0.0:
+            res["tau_soft_limits"] = u
+    if not surface:
+        res["ee_pos"] = fk_res.ee_p - ref.p_ref
+    else:
+        res["ee_xy"] = fk_res.ee_p - ref.p_ref
+        v_ref6 = jnp.concatenate(
+            [ref.v_ref[:2], jnp.zeros(4, x.dtype)])
+        res["ee_vxy"] = vel6 - v_ref6
+        if W.w_plane_z > 0.0:
+            p_contact = ref.p_ref.at[2].set(ref.p_ref[2] - W.z_press)
+            res["plane_z"] = fk_res.ee_p - p_contact
+        if W.w_vz > 0.0:
+            res["vz_damp"] = vel6
+        if nc == 3 and W.w_friction_cone > 0.0:
+            A = jnp.asarray(_friction_cone_A(W.mu), x.dtype)
+            res["friction_cone"] = A @ force
+        if W.w_unilateral > 0.0:
+            res["unilateral"] = force
+        if W.w_fn > 0.0:
+            fn_ref = jnp.asarray([W.fn_des] if nc == 1 else [0.0, 0.0, W.fn_des], x.dtype)
+            res["fn_track"] = force - fn_ref
+
+    return xnext, res
+
+
+def _assemble_cost(spec, res, dt_scale: float, terminal: bool, dtype):
+    """Sum weighted activations.  ``dt_scale`` multiplies dt_scaled terms
+    (Crocoddyl IAM Euler: dt for running knots, 1 for the classical terminal
+    overload, dt again for the FF terminal since the augmented model calls
+    the inner running calc — crocoddyl_force_feedback.py:220)."""
+    cost = jnp.zeros((), dtype)
+    for name, term in spec.items():
+        if terminal and not term.terminal:
+            continue
+        scale = dt_scale if term.dt_scaled else 1.0
+        cost = cost + term.weight * scale * act.value(term.activation, res[name])
+    return cost
+
+
+def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu: int, dtype):
+    Lx = jnp.zeros(nx, dtype)
+    Lxx = jnp.zeros((nx, nx), dtype)
+    Lu = jnp.zeros(nu, dtype)
+    Luu = jnp.zeros((nu, nu), dtype)
+    Lxu = jnp.zeros((nx, nu), dtype)
+    cost = jnp.zeros((), dtype)
+    for name, term in spec.items():
+        if terminal and not term.terminal:
+            continue
+        r = res[name]
+        s = term.weight * (dt_scale if term.dt_scaled else 1.0)
+        g = act.grad(term.activation, r)
+        h = act.hess_diag(term.activation, r)
+        jx = Jx[name]
+        cost = cost + s * act.value(term.activation, r)
+        Lx = Lx + s * (jx.T @ g)
+        Lxx = Lxx + s * (jx.T @ (h[:, None] * jx))
+        if not terminal:
+            ju = Ju[name]
+            Lu = Lu + s * (ju.T @ g)
+            Luu = Luu + s * (ju.T @ (h[:, None] * ju))
+            Lxu = Lxu + s * (jx.T @ (h[:, None] * ju))
+    return cost, Lx, Lu, Lxx, Lxu, Luu
+
+
+def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool) -> KnotModel:
+    spec, nc = _make_spec(model, W, surface)
+    nx, nu = 14, 7
+    dt = float(W.dt_ocp)
+
+    def raw_run(ref, x, u):
+        return _classical_raw(model, W, surface, nc, False, ref, x, u)
+
+    def raw_term(ref, x):
+        u0 = jnp.zeros(nu, x.dtype)   # crocoddyl terminal calc uses u = unone
+        return _classical_raw(model, W, surface, nc, True, ref, x, u0)
+
+    def calc(ref, x, u):
+        xnext, res = raw_run(ref, x, u)
+        return xnext, _assemble_cost(spec, res, dt, False, x.dtype)
+
+    def diff(ref, x, u):
+        (xnext, res), (jac_x, jac_u) = _value_and_jac(raw_run, ref, x, u)
+        Fx, Jx = jac_x
+        Fu, Ju = jac_u
+        cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+            spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
+        return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
+
+    def term_calc(ref, x):
+        # crocoddyl IAM Euler terminal overload: cost NOT scaled by dt.
+        _, res = raw_term(ref, x)
+        return _assemble_cost(spec, res, 1.0, True, x.dtype)
+
+    def term_diff(ref, x):
+        def f(xx):
+            _, res = raw_term(ref, xx)
+            return res
+        res = f(x)
+        Jx = jax.jacfwd(f)(x)
+        cost, Lx, _, Lxx, _, _ = _assemble_gn(
+            spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
+        return cost, Lx, Lxx
+
+    lim = tuple(float(t) for t in W.tau_limits)
+    return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
+                     tuple(-t for t in lim), lim)
+
+
+def _value_and_jac(raw, ref, x, u):
+    """(value, (d/dx, d/du)) of raw(ref, x, u) in one pass each."""
+    val = raw(ref, x, u)
+    jac_x = jax.jacfwd(lambda xx: raw(ref, xx, u))(x)
+    jac_u = jax.jacfwd(lambda uu: raw(ref, x, uu))(u)
+    return val, (jac_x, jac_u)
+
+
+# ---------------------------------------------------------------------------
+# augmented LPF knot (force-feedback)
+# ---------------------------------------------------------------------------
+
+def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool) -> KnotModel:
+    """Augmented action model on y=(q,v,tau), control w.
+
+    y+ = [EulerKnot(x, tau); alpha*tau + (1-alpha)*w]; costs = inner knot cost
+    (dt-scaled) + discrete-level y-reg, w-reg, w-soft-limit terms
+    (reference _AugmentedLPFActionModel.calc/calcDiff,
+    crocoddyl_force_feedback.py:211-290).
+    """
+    spec, nc = _make_spec(model, W, surface)
+    # drop inner regs if disabled (reference use_inner_state_reg/use_inner_tau_reg)
+    spec = dict(spec)
+    if not W.use_inner_state_reg:
+        spec.pop("posture", None)
+        spec.pop("v_damp", None)
+    if not W.use_inner_tau_reg:
+        spec.pop("tau_reg", None)
+        spec.pop("tau_soft_limits", None)
+
+    nx, nu, nx_mb = 21, 7, 14
+    dt = float(W.dt_ocp)
+    alpha = float(np.clip(W.ff_alpha, 0.0, 0.999999))
+    beta = 1.0 - alpha
+
+    w_lim = np.asarray(W.tau_limits)
+    soft_lim = np.maximum(w_lim - max(W.tau_soft_limit_margin, 0.0), 1e-9)
+
+    outer_spec: Dict[str, CostTerm] = {}
+    if W.w_y > 0.0:
+        wy2 = [float(v) ** 2 for v in W.y_weights]
+        outer_spec["y_reg"] = CostTerm(W.w_y, act.wquad(wy2), False, True)
+    if W.w_w > 0.0:
+        outer_spec["w_reg"] = CostTerm(W.w_w, act.quad(), False, True)
+    if W.w_w_soft_limits > 0.0:
+        outer_spec["w_soft"] = CostTerm(
+            W.w_w_soft_limits, act.barrier(-soft_lim, soft_lim), False, True)
+
+    def raw(ref, y, w, terminal: bool):
+        x_mb = y[:nx_mb]
+        tau = y[nx_mb:]
+        xnext_mb, res = _classical_raw(model, W, surface, nc, terminal, ref, x_mb, tau)
+        if not W.use_inner_state_reg:
+            res.pop("posture", None)
+            res.pop("v_damp", None)
+        if not W.use_inner_tau_reg:
+            res.pop("tau_reg", None)
+            res.pop("tau_soft_limits", None)
+        tau_next = alpha * tau + beta * w
+        ynext = jnp.concatenate([xnext_mb, tau_next])
+        if W.w_y > 0.0:
+            res["y_reg"] = y - ref.y_ref
+        if W.w_w > 0.0:
+            res["w_reg"] = w
+        if W.w_w_soft_limits > 0.0:
+            res["w_soft"] = w
+        return ynext, res
+
+    full_spec = {**spec, **outer_spec}
+
+    def calc(ref, y, w):
+        ynext, res = raw(ref, y, w, False)
+        return ynext, _assemble_cost(full_spec, res, dt, False, y.dtype)
+
+    def diff(ref, y, w):
+        ynext, res = raw(ref, y, w, False)
+        Jx = jax.jacfwd(lambda yy: raw(ref, yy, w, False))(y)
+        Ju = jax.jacfwd(lambda ww: raw(ref, y, ww, False))(w)
+        Fx, Jx_res = Jx
+        Fu, Ju_res = Ju
+        cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+            full_spec, res, Jx_res, Ju_res, dt, False, nx, nu, y.dtype)
+        return KnotDeriv(ynext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
+
+    def term_calc(ref, y):
+        w0 = jnp.zeros(nu, y.dtype)
+        _, res = raw(ref, y, w0, True)
+        # terminal: inner costs unscaled (IAM Euler terminal), outer as-is.
+        return _assemble_cost(full_spec, res, dt, True, y.dtype)
+
+    def term_diff(ref, y):
+        w0 = jnp.zeros(nu, y.dtype)
+
+        def f(yy):
+            _, res = raw(ref, yy, w0, True)
+            return res
+        res = f(y)
+        Jx = jax.jacfwd(f)(y)
+        cost, Lx, _, Lxx, _, _ = _assemble_gn(
+            full_spec, res, Jx, None, dt, True, nx, nu, y.dtype)
+        return cost, Lx, Lxx
+
+    lim = tuple(float(t) for t in W.tau_limits)
+    return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
+                     tuple(-t for t in lim), lim)

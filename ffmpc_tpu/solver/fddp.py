@@ -1,0 +1,278 @@
+"""Functional FDDP / BoxFDDP: the Crocoddyl SolverBoxFDDP equivalent on TPU.
+
+Reference use: solver.solve(xs, us, max_iters, False) with warm starts and
+Riccati gains K consumed by the policy (crocoddyl_classical.py:363-388,
+442-445).  This is a from-scratch JAX implementation of the
+feasibility-driven DDP algorithm (Mastalli et al., ICRA 2020) mirroring
+Crocoddyl's published semantics:
+
+- feasibility gaps fs[0] = x0 - xs[0], fs[t+1] = f(xs[t], us[t]) - xs[t+1];
+  the backward pass deflects Vx along the gaps, the forward pass keeps
+  (1 - alpha)-scaled gaps open.
+- Levenberg-Marquardt regularization schedule (inc/dec factor 10, bounds
+  [1e-9, 1e9]) with backward-pass retry on an indefinite Quu.
+- Goldstein-style acceptance with the gap-aware expected improvement
+  d1 = dg + dv, d2 = dq - 2 dv, and negative-improvement acceptance
+  (th_acceptnegstep) that lets pure gap-contraction steps through.
+- BoxFDDP: control bounds via a projected-Newton box QP per knot; gain rows
+  of clamped dimensions are zeroed and rollout controls are clamped.
+
+Everything is jit-compatible (lax.scan sweeps, lax.while_loop iteration and
+line search) and vmap-batchable over problems: ``solve`` has no Python-level
+data-dependent control flow.  State spaces are Euclidean (all-revolute Panda
+=> integrate/difference are plain +/-; no Lie retraction needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ocp.action import KnotModel
+from .boxqp import boxqp, _masked_solve
+
+
+@dataclass(frozen=True)
+class FDDPSettings:
+    max_iters: int = 10
+    n_alphas: int = 10          # alphas = 2^0 .. 2^-(n-1)
+    reg_init: float = 1e-9
+    reg_min: float = 1e-9
+    reg_max: float = 1e9
+    reg_inc: float = 10.0
+    reg_dec: float = 10.0
+    th_acceptstep: float = 0.1
+    th_acceptnegstep: float = 2.0
+    th_stop: float = 1e-9
+    th_grad: float = 1e-12
+    th_stepdec: float = 0.5
+    th_stepinc: float = 0.01
+    use_box: bool = True
+    boxqp_iters: int = 8
+
+
+class FDDPResult(NamedTuple):
+    xs: jnp.ndarray        # (N+1, nx)
+    us: jnp.ndarray        # (N, nu)
+    K: jnp.ndarray         # (N, nu, nx) Riccati feedback gains
+    k: jnp.ndarray         # (N, nu) feedforward (crocoddyl sign: u_try = u - a*k - K dx)
+    cost: jnp.ndarray      # scalar total cost of the returned trajectory
+    stop: jnp.ndarray      # scalar sum ||Qu||^2 (crocoddyl stoppingCriteria)
+    iters: jnp.ndarray     # int iterations actually performed
+    converged: jnp.ndarray # bool
+    diverged: jnp.ndarray  # bool (regularization blew past reg_max)
+    feasible: jnp.ndarray  # bool gaps closed
+    xreg: jnp.ndarray      # final regularization
+
+
+class _Carry(NamedTuple):
+    xs: Any
+    us: Any
+    cost: Any
+    feasible: Any
+    xreg: Any
+    ureg: Any
+    it: Any
+    converged: Any
+    diverged: Any
+    K: Any
+    kff: Any
+    stop: Any
+
+
+def _compute_gaps(x0, xs, xnexts):
+    fs0 = (x0 - xs[0])[None]
+    fs_rest = xnexts - xs[1:]
+    return jnp.concatenate([fs0, fs_rest], axis=0)
+
+
+def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
+          settings: FDDPSettings = FDDPSettings()) -> FDDPResult:
+    """Solve one shooting problem.  refs_run: pytree with leading dim N."""
+    S = settings
+    nx, nu = knot.nx, knot.nu
+    N = us_init.shape[0]
+    dtype = xs_init.dtype
+
+    u_lb = jnp.asarray(knot.u_lb, dtype)
+    u_ub = jnp.asarray(knot.u_ub, dtype)
+    alphas = 0.5 ** jnp.arange(S.n_alphas, dtype=dtype)
+
+    vcalc = jax.vmap(knot.calc)
+    vdiff = jax.vmap(knot.diff)
+
+    def total_calc(xs, us):
+        xnexts, costs = vcalc(refs_run, xs[:-1], us)
+        cost = jnp.sum(costs) + knot.term_calc(ref_T, xs[-1])
+        return xnexts, cost
+
+    # ---------------- backward pass (stores Vxx per knot for the
+    # gap-aware expected-improvement correction) ----------------
+    def backward_store(derivs, LxT, LxxT, fs, us, xreg, ureg, feasible):
+        eye_x = jnp.eye(nx, dtype=dtype)
+        VxxT = LxxT + xreg * eye_x
+        VxT = LxT + jnp.where(feasible, 0.0, 1.0) * (VxxT @ fs[-1])
+
+        def step(carry, inp):
+            Vx, Vxx = carry
+            d, fs_t, u_t = inp
+            Qxx = d.Lxx + d.Fx.T @ Vxx @ d.Fx
+            Qxu = d.Lxu + d.Fx.T @ Vxx @ d.Fu
+            Quu = d.Luu + d.Fu.T @ Vxx @ d.Fu + ureg * jnp.eye(nu, dtype=dtype)
+            Qx = d.Lx + d.Fx.T @ Vx
+            Qu = d.Lu + d.Fu.T @ Vx
+
+            if S.use_box:
+                sol = boxqp(Quu, Qu, u_lb - u_t, u_ub - u_t,
+                            jnp.zeros(nu, dtype), iters=S.boxqp_iters)
+                kff = -sol.x
+                K = _masked_solve(Quu, Qxu.T * sol.free.astype(dtype)[:, None],
+                                  sol.free, 1e-12)
+                bad = jnp.any(~jnp.isfinite(kff)) | jnp.any(~jnp.isfinite(K))
+            else:
+                L = jnp.linalg.cholesky(Quu)
+                kff = jax.scipy.linalg.cho_solve((L, True), Qu)
+                K = jax.scipy.linalg.cho_solve((L, True), Qxu.T)
+                bad = jnp.any(~jnp.isfinite(L))
+
+            Quuk = Quu @ kff
+            Vx_new = Qx + K.T @ (Quuk - 2.0 * Qu)
+            Vxx_new = Qxx - Qxu @ K
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T) + xreg * eye_x
+            Vx_new = Vx_new + jnp.where(feasible, 0.0, 1.0) * (Vxx_new @ fs_t)
+
+            dg_t = Qu @ kff - jnp.where(feasible, 0.0, 1.0) * (Vx_new @ fs_t)
+            dq_t = -kff @ Quuk + jnp.where(feasible, 0.0, 1.0) * (fs_t @ (Vxx_new @ fs_t))
+            out = (K, kff, jnp.sum(Qu * Qu), dg_t, dq_t, bad, Vxx_new)
+            return (Vx_new, Vxx_new), out
+
+        (_, _), outs = jax.lax.scan(
+            step, (VxT, VxxT), (derivs, fs[:-1], us), reverse=True)
+        K, kff, qu2, dg_t, dq_t, bad, Vxx_run = outs
+        dg = jnp.sum(dg_t) - jnp.where(feasible, 0.0, 1.0) * (VxT @ fs[-1])
+        dq = jnp.sum(dq_t) + jnp.where(feasible, 0.0, 1.0) * (fs[-1] @ (VxxT @ fs[-1]))
+        Vxx_all = jnp.concatenate([Vxx_run, VxxT[None]], axis=0)  # (N+1, nx, nx)
+        return K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), Vxx_all
+
+    # ---------------- forward pass (feasibility-prone rollout) ----------------
+    def forward(xs, us, K, kff, fs, alpha, feasible):
+        gap_scale = jnp.where(feasible, 0.0, alpha - 1.0)
+
+        def step(x, inp):
+            ref, x_nom, u_nom, K_t, k_t, fs_next = inp
+            dx = x - x_nom
+            u = u_nom - alpha * k_t - K_t @ dx
+            if S.use_box:
+                u = jnp.clip(u, u_lb, u_ub)
+            xnext, cost = knot.calc(ref, x, u)
+            xnext = xnext + gap_scale * fs_next
+            return xnext, (x, u, cost)
+
+        xN, (xs_run, us_try, costs) = jax.lax.scan(
+            step, x0, (refs_run, xs[:-1], us, K, kff, fs[1:]))
+        cost_T = knot.term_calc(ref_T, xN)
+        xs_try = jnp.concatenate([xs_run, xN[None]], axis=0)
+        cost_try = jnp.sum(costs) + cost_T
+        return xs_try, us_try, cost_try
+
+    # ---------------- one FDDP iteration ----------------
+    def iteration(c: _Carry) -> _Carry:
+        derivs = vdiff(refs_run, c.xs[:-1], c.us)
+        cost_T, LxT, LxxT = knot.term_diff(ref_T, c.xs[-1])
+        cost_cur = jnp.sum(derivs.cost) + cost_T
+        fs = _compute_gaps(x0, c.xs, derivs.xnext)
+        gap_norm = jnp.max(jnp.abs(fs))
+        feasible = c.feasible | (gap_norm < 1e-9)
+
+        # backward pass with regularization retry on indefinite Quu
+        def bw(reg_pair):
+            xreg, ureg = reg_pair
+            return backward_store(derivs, LxT, LxxT, fs, c.us, xreg, ureg, feasible)
+
+        def bw_cond(st):
+            (_, _, _, _, _, bad, _), (xreg, _) = st
+            return bad & (xreg < S.reg_max)
+
+        def bw_body(st):
+            _, (xreg, ureg) = st
+            xreg = jnp.minimum(xreg * S.reg_inc, S.reg_max)
+            ureg = xreg
+            return bw((xreg, ureg)), (xreg, ureg)
+
+        st0 = (bw((c.xreg, c.ureg)), (c.xreg, c.ureg))
+        (K, kff, stop, dg, dq, bw_bad, Vxx_all), (xreg, ureg) = jax.lax.while_loop(
+            bw_cond, bw_body, st0)
+
+        # line search over alphas (first acceptable)
+        def ls_cond(st):
+            i, accepted, *_ = st
+            return (~accepted) & (i < S.n_alphas)
+
+        def ls_body(st):
+            i, _, _, _, _, _ = st
+            alpha = alphas[i]
+            xs_try, us_try, cost_try = forward(c.xs, c.us, K, kff, fs, alpha, feasible)
+            dV = cost_cur - cost_try
+            # gap-aware expected improvement (crocoddyl FDDP::expectedImprovement)
+            dx_all = c.xs - xs_try
+            dv = -jnp.where(feasible, 0.0, 1.0) * jnp.sum(
+                fs * jnp.einsum("tij,tj->ti", Vxx_all, dx_all))
+            d1 = dg + dv
+            d2 = dq - 2.0 * dv
+            dVexp = alpha * (d1 + 0.5 * alpha * d2)
+            finite = jnp.isfinite(cost_try)
+            ok_pos = (dVexp >= 0) & ((d1 < S.th_grad) | (dV > S.th_acceptstep * dVexp))
+            ok_neg = (dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
+            accepted = finite & (ok_pos | ok_neg)
+            return (i + 1, accepted, xs_try, us_try, cost_try, alpha)
+
+        dummy = (jnp.int32(0), jnp.asarray(False),
+                 c.xs, c.us, cost_cur, jnp.asarray(1.0, dtype))
+        i_f, accepted, xs_try, us_try, cost_try, alpha_f = jax.lax.while_loop(
+            ls_cond, ls_body, dummy)
+
+        xs_new = jnp.where(accepted, xs_try, c.xs)
+        us_new = jnp.where(accepted, us_try, c.us)
+        cost_new = jnp.where(accepted, cost_try, cost_cur)
+        feasible_new = feasible | (accepted & (alpha_f >= 1.0 - 1e-12))
+
+        # regularization schedule (crocoddyl solve loop)
+        dec = accepted & (alpha_f > S.th_stepdec)
+        inc = (~accepted) | (alpha_f <= S.th_stepinc)
+        xreg_new = jnp.where(dec, jnp.maximum(xreg / S.reg_dec, S.reg_min), xreg)
+        xreg_new = jnp.where(inc, jnp.minimum(xreg_new * S.reg_inc, S.reg_max), xreg_new)
+        diverged = (inc & (xreg >= S.reg_max)) | bw_bad & (xreg >= S.reg_max)
+        converged = feasible_new & (stop < S.th_stop)
+
+        return _Carry(xs=xs_new, us=us_new, cost=cost_new, feasible=feasible_new,
+                      xreg=xreg_new, ureg=xreg_new, it=c.it + 1,
+                      converged=converged, diverged=diverged, K=K, kff=kff,
+                      stop=stop)
+
+    def loop_cond(c: _Carry):
+        return (c.it < S.max_iters) & (~c.converged) & (~c.diverged)
+
+    c0 = _Carry(
+        xs=xs_init, us=us_init,
+        cost=jnp.asarray(jnp.inf, dtype),
+        feasible=jnp.asarray(False),
+        xreg=jnp.asarray(S.reg_init, dtype), ureg=jnp.asarray(S.reg_init, dtype),
+        it=jnp.int32(0),
+        converged=jnp.asarray(False), diverged=jnp.asarray(False),
+        K=jnp.zeros((N, nu, nx), dtype), kff=jnp.zeros((N, nu), dtype),
+        stop=jnp.asarray(jnp.inf, dtype),
+    )
+    cF = jax.lax.while_loop(loop_cond, iteration, c0)
+
+    # final cost of the candidate trajectory (cF.cost is inf if 0 iterations)
+    _, cost_final = total_calc(cF.xs, cF.us)
+
+    return FDDPResult(
+        xs=cF.xs, us=cF.us, K=cF.K, k=cF.kff,
+        cost=cost_final, stop=cF.stop, iters=cF.it,
+        converged=cF.converged, diverged=cF.diverged,
+        feasible=cF.feasible, xreg=cF.xreg,
+    )
