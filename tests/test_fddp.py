@@ -156,10 +156,18 @@ def test_fddp_converges_panda_free(panda_problem):
                 FDDPSettings(max_iters=20, use_box=True))
     assert bool(res.feasible)
     assert not bool(res.diverged)
-    assert float(res.stop) < 1e-4, float(res.stop)
-    # torques respect the box
+    # torques respect the box (wrist joints saturate at +-12 Nm on this
+    # problem, so ||Qu|| stays finite at clamped dims — that's correct for
+    # BoxFDDP; the unboxed variant below must drive the gradient to ~0)
     lim = np.array([87, 87, 87, 87, 12, 12, 12], dtype=float)
     assert np.all(np.abs(np.asarray(res.us)) <= lim + 1e-9)
+
+    res_nb = solve(knot, refs_run, ref_T, x0, xs0, us0,
+                   FDDPSettings(max_iters=30, use_box=False))
+    assert bool(res_nb.feasible)
+    assert float(res_nb.stop) < 1e-4, float(res_nb.stop)
+    # the constrained optimum cannot beat the unconstrained one
+    assert float(res.cost) >= float(res_nb.cost) - 1e-8
 
 
 def test_fddp_warmstart_improves(panda_problem):
