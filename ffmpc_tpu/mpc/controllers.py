@@ -148,8 +148,17 @@ class _MPCBase:
         return tau_cmd
 
     def _shift_guess(self, x0: np.ndarray, N: int, u_hold: np.ndarray):
-        """Receding-horizon warm start (reference _shift_guess,
-        crocoddyl_classical.py:733-757)."""
+        """Receding-horizon warm start: time-consistent shift of BOTH states
+        and controls (xs[k] <- xs_prev[k+1], us[k] <- us_prev[k+1]).
+
+        Deliberate deviation from the reference _shift_guess
+        (crocoddyl_classical.py:733-757), which shifts controls but keeps
+        states unshifted — that mismatch creates O(1) dynamics gaps whenever
+        the previous solution's controls vary along the horizon, and FDDP's
+        gap-contraction acceptance (th_acceptnegstep) can then legally take
+        a large cost-increasing step, destabilizing the MPC loop.  The
+        consistent shift keeps gaps at the one-step prediction error.
+        """
         if self.xs is None or self.us is None or len(self.us) < N:
             xs = np.tile(x0, (N + 1, 1))
             us = np.tile(u_hold, (N, 1))
@@ -157,8 +166,8 @@ class _MPCBase:
         xs_prev, us_prev = self.xs, self.us
         xs = np.empty((N + 1, x0.shape[0]))
         xs[0] = x0
-        n_tail = min(len(xs_prev) - 1, N)
-        xs[1:1 + n_tail] = xs_prev[1:1 + n_tail]
+        n_tail = min(len(xs_prev) - 2, N)
+        xs[1:1 + n_tail] = xs_prev[2:2 + n_tail]
         xs[1 + n_tail:] = xs_prev[-1]
         us = np.empty((N, us_prev.shape[1]))
         n_tail_u = min(len(us_prev) - 1, N)

@@ -1,0 +1,185 @@
+"""Fully on-device closed-loop MPC: solve + policy + plant inside one scan.
+
+This is the TPU-native execution mode the reference cannot express: the
+whole receding-horizon loop — problem construction, warm-started BoxFDDP
+solve, Riccati/interpolation policy, safety clamp, 1 kHz plant substeps —
+is one compiled program per control tick, scanned over an episode and
+vmapped/shard_mapped over ensembles (scenarios x perturbed initial states x
+configs).  No host round-trips inside the loop; the 5 ms replan budget is
+met by construction of a single device dispatch per episode.
+
+Controllers: "classical" (x=(q,v), u=tau) and "force_feedback"
+(y=(q,v,tau_hat), u=w with LPF torque dynamics and the Eq. 14-18
+interpolated policy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.panda import PandaModel
+from ..core.dynamics import gravity_torque
+from ..ocp.action import make_classical_knot, make_augmented_knot
+from ..ocp.problem import build_problem_refs
+from ..ocp.weights import OCPWeights
+from ..solver.fddp import solve as fddp_solve, FDDPSettings
+from ..sim.device_plant import (TableParams, PlantState, plant_step,
+                                init_plant_state)
+from ..mpc.controllers import make_vertical_down_R
+
+
+@dataclass(frozen=True)
+class EpisodeConfig:
+    controller: str = "classical"        # "classical" | "force_feedback"
+    horizon: int = 36
+    dt_mpc: float = 0.005
+    plant_timestep: float = 0.001
+    n_substeps: int = 5
+    n_ticks: int = 400
+    ff_alpha_ocp: float = 0.0            # exp(-2 pi fc dt_ocp); FF only
+    ff_alpha_ctrl: float = 0.0           # exp(-2 pi fc dt_mpc); FF only
+    ff_inverse_actuation: bool = True
+    feedback_gain_scale: float = 0.55
+    posture_ref_q_nom: bool = True
+
+
+def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
+                    traj, table: TableParams, ep: EpisodeConfig,
+                    q_nom, torque_scale=None, dtype=jnp.float32):
+    """Build a jittable episode function.
+
+    episode(q0) -> dict of per-tick telemetry arrays.  vmap over q0 for
+    ensembles; the contact/free knot family switches per tick via lax.cond
+    on the trajectory's surface flag (both branches compiled once).
+    """
+    N = ep.horizon
+    nu = 7
+    is_ff = ep.controller == "force_feedback"
+    nx = 21 if is_ff else 14
+    make_knot = make_augmented_knot if is_ff else make_classical_knot
+    knot_free = make_knot(model, W, surface=False)
+    knot_contact = make_knot(model, W, surface=True)
+    R_des = jnp.asarray(make_vertical_down_R(), dtype)
+    q_nom = jnp.asarray(q_nom, dtype)
+    x_reg_nom = jnp.concatenate([q_nom, jnp.zeros(7, dtype)])
+    tau_limit = jnp.asarray(model.tau_limit, dtype)
+    tscale = (jnp.ones(7, dtype) if torque_scale is None
+              else jnp.asarray(torque_scale, dtype))
+    eps_pol = float(np.clip(ep.dt_mpc / W.dt_ocp, 0.0, 1.0))
+    alpha = ep.ff_alpha_ocp
+
+    def solve_mode(knot, t, x0, xs_w, us_w, tau_ref):
+        refs_run, ref_T = build_problem_refs(
+            traj, t, N, W.dt_ocp, x_reg_nom if ep.posture_ref_q_nom else x0[:14],
+            tau_ref, R_des, y_ref=(x0 if is_ff else None), dtype=dtype)
+        return fddp_solve(knot, refs_run, ref_T, x0, xs_w, us_w, settings)
+
+    def tick(carry, t):
+        plant, xs_w, us_w, tau_prev = carry
+        q, v = plant.q, plant.v
+        if is_ff:
+            tau_hat = plant.tau_meas_act_filt
+            x0 = jnp.concatenate([q, v, tau_hat])
+        else:
+            x0 = jnp.concatenate([q, v])
+
+        # warm start: shift previous solution one knot, pin x0
+        xs_init = jnp.concatenate([x0[None], xs_w[2:], xs_w[-1:]], axis=0)
+        us_init = jnp.concatenate([us_w[1:], us_w[-1:]], axis=0)
+
+        tau_ref = gravity_torque(model, q)
+        _, _, surf = traj(t)
+        res = jax.lax.cond(
+            surf,
+            lambda: solve_mode(knot_contact, t, x0, xs_init, us_init, tau_ref),
+            lambda: solve_mode(knot_free, t, x0, xs_init, us_init, tau_ref),
+        )
+
+        if is_ff:
+            tau0 = res.xs[0, 14:21]
+            tau1 = res.xs[1, 14:21]
+            tau_tilde = tau0 + eps_pol * (tau1 - tau0)     # Eq. 14
+            # at-solve-point feedback terms vanish (x0 == xs[0]); keep the
+            # tau interpolation + inverse actuation map
+            tau_des = tau_tilde
+            if ep.ff_inverse_actuation:
+                beta_c = max(1e-6, 1.0 - ep.ff_alpha_ctrl)
+                tau_raw = (tau_des - ep.ff_alpha_ctrl * tau_hat) / beta_c
+            else:
+                tau_raw = tau_des
+        else:
+            tau_raw = res.us[0]
+
+        # divergence guard + hard clamp (reference compute_control tail)
+        unstable = (~jnp.isfinite(res.cost)) | (res.cost > 1e8) | \
+            (jnp.max(jnp.abs(tau_raw)) > 3e2)
+        tau_fallback = plant_bias(q, v)
+        tau_cmd = jnp.where(unstable, tau_fallback, tau_raw)
+        tau_cmd = jnp.clip(tau_cmd, -tau_limit, tau_limit)
+
+        plant_new, obs = plant_step(
+            model, table, plant, tau_cmd * tscale,
+            timestep=ep.plant_timestep, n_substeps=ep.n_substeps)
+
+        p_ref, _, _ = traj(t + ep.dt_mpc)
+        err = obs.ee_pos - p_ref
+        telem = {
+            "t": t + ep.dt_mpc,
+            "err_tan": jnp.linalg.norm(err[:2]),
+            "err_3d": jnp.linalg.norm(err),
+            "fn_meas": obs.f_contact_normal,
+            "cost": res.cost,
+            "iters": res.iters,
+            "tau_cmd": tau_cmd,
+            "ee_pos": obs.ee_pos,
+            "q": obs.q,
+        }
+        return (plant_new, res.xs, res.us, tau_cmd), telem
+
+    def plant_bias(q, v):
+        return gravity_torque(model, q) - 5.0 * v
+
+    def episode(q0):
+        q0 = jnp.asarray(q0, dtype)
+        plant0 = init_plant_state(q0, dtype=dtype)
+        tau_g = gravity_torque(model, q0)
+        if is_ff:
+            x0 = jnp.concatenate([q0, jnp.zeros(7, dtype), tau_g])
+        else:
+            x0 = jnp.concatenate([q0, jnp.zeros(7, dtype)])
+        xs0 = jnp.tile(x0, (N + 1, 1))
+        us0 = jnp.tile(tau_g, (N, 1))
+        ts = jnp.arange(ep.n_ticks, dtype=dtype) * ep.dt_mpc
+        _, telem = jax.lax.scan(tick, (plant0, xs0, us0, tau_g), ts)
+        return telem
+
+    return episode
+
+
+def make_batched_solve_fn(model: PandaModel, W: OCPWeights,
+                          settings: FDDPSettings, traj, ep: EpisodeConfig,
+                          q_nom, surface: bool = True, dtype=jnp.float32):
+    """Pure batched-solve benchmark kernel: B independent warm-started
+    BoxFDDP solves of the full-horizon problem (the BASELINE.json
+    solves/s metric)."""
+    N = ep.horizon
+    is_ff = ep.controller == "force_feedback"
+    make_knot = make_augmented_knot if is_ff else make_classical_knot
+    knot = make_knot(model, W, surface=surface)
+    R_des = jnp.asarray(make_vertical_down_R(), dtype)
+    q_nom = jnp.asarray(q_nom, dtype)
+    x_reg_nom = jnp.concatenate([q_nom, jnp.zeros(7, dtype)])
+
+    def one(t, x0, xs_w, us_w):
+        tau_ref = gravity_torque(model, x0[:7])
+        refs_run, ref_T = build_problem_refs(
+            traj, t, N, W.dt_ocp, x_reg_nom, tau_ref, R_des,
+            y_ref=(x0 if is_ff else None), dtype=dtype)
+        return fddp_solve(knot, refs_run, ref_T, x0, xs_w, us_w, settings)
+
+    return jax.vmap(one)

@@ -90,8 +90,13 @@ def _compute_gaps(x0, xs, xnexts):
 
 
 def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
-          settings: FDDPSettings = FDDPSettings()) -> FDDPResult:
-    """Solve one shooting problem.  refs_run: pytree with leading dim N."""
+          settings: FDDPSettings = FDDPSettings(),
+          debug_history: bool = False) -> FDDPResult:
+    """Solve one shooting problem.  refs_run: pytree with leading dim N.
+
+    With ``debug_history=True`` additionally returns a dict of
+    (max_iters,)-shaped per-iteration telemetry arrays (accepted step
+    lengths, costs, regularization, expected-improvement pieces)."""
     S = settings
     nx, nu = knot.nx, knot.nu
     N = us_init.shape[0]
@@ -247,10 +252,17 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         diverged = (inc & (xreg >= S.reg_max)) | bw_bad & (xreg >= S.reg_max)
         converged = feasible_new & (stop < S.th_stop)
 
-        return _Carry(xs=xs_new, us=us_new, cost=cost_new, feasible=feasible_new,
-                      xreg=xreg_new, ureg=xreg_new, it=c.it + 1,
-                      converged=converged, diverged=diverged, K=K, kff=kff,
-                      stop=stop)
+        aux = {
+            "cost_cur": cost_cur, "cost_try": cost_try, "accepted": accepted,
+            "alpha": alpha_f, "stop": stop, "xreg": xreg,
+            "dg": dg, "dq": dq, "gap_norm": gap_norm,
+            "feasible": feasible, "bw_bad": bw_bad,
+        }
+        new_c = _Carry(xs=xs_new, us=us_new, cost=cost_new, feasible=feasible_new,
+                       xreg=xreg_new, ureg=xreg_new, it=c.it + 1,
+                       converged=converged, diverged=diverged, K=K, kff=kff,
+                       stop=stop)
+        return new_c, aux
 
     def loop_cond(c: _Carry):
         return (c.it < S.max_iters) & (~c.converged) & (~c.diverged)
@@ -265,14 +277,29 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         K=jnp.zeros((N, nu, nx), dtype), kff=jnp.zeros((N, nu), dtype),
         stop=jnp.asarray(jnp.inf, dtype),
     )
-    cF = jax.lax.while_loop(loop_cond, iteration, c0)
+    if debug_history:
+        # fixed-trip scan collecting per-iteration telemetry (the
+        # CallbackVerbose equivalent; reference crocoddyl_classical.py:352)
+        def scan_body(c, _):
+            new_c, aux = iteration(c)
+            live = loop_cond(c)
+            c_out = jax.tree.map(
+                lambda new, old: jnp.where(live, new, old), new_c, c)
+            return c_out, aux
+        cF, history = jax.lax.scan(scan_body, c0, None, length=S.max_iters)
+    else:
+        cF = jax.lax.while_loop(lambda c: loop_cond(c), lambda c: iteration(c)[0], c0)
+        history = None
 
     # final cost of the candidate trajectory (cF.cost is inf if 0 iterations)
     _, cost_final = total_calc(cF.xs, cF.us)
 
-    return FDDPResult(
+    res = FDDPResult(
         xs=cF.xs, us=cF.us, K=cF.K, k=cF.kff,
         cost=cost_final, stop=cF.stop, iters=cF.it,
         converged=cF.converged, diverged=cF.diverged,
         feasible=cF.feasible, xreg=cF.xreg,
     )
+    if debug_history:
+        return res, history
+    return res
