@@ -1,0 +1,95 @@
+"""Benchmark: batched full-horizon BoxFDDP solves/s on the accelerator.
+
+Measures the BASELINE.json headline metric — warm-started full-horizon
+force-feedback (augmented contact OCP, N=40) BoxFDDP solves per second at
+the benchmark iteration budget (10) — swept over batch sizes, plus the
+per-solve replan latency vs the 5 ms budget.
+
+Prints ONE JSON line:
+  {"metric": "fddp_solves_per_s", "value": ..., "unit": "solves/s",
+   "vs_baseline": value / 2000.0, ...aux fields...}
+(vs_baseline is against the 2000 solves/s north-star target on v5e.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from ffmpc_tpu.core import gravity_torque
+    from ffmpc_tpu.run.batch_runner import make_batched_solve_fn, EpisodeConfig
+    from __graft_entry__ import _common
+
+    dtype = jnp.float32
+    model, W, _, traj, ep0, q0 = _common(dtype, horizon=40, max_iters=10)
+    from ffmpc_tpu.solver.fddp import FDDPSettings
+    settings = FDDPSettings(max_iters=10, use_box=True)
+    ep = EpisodeConfig(controller="force_feedback", horizon=40,
+                       ff_alpha_ocp=ep0.ff_alpha_ocp,
+                       ff_alpha_ctrl=ep0.ff_alpha_ctrl)
+    solve = make_batched_solve_fn(model, W, settings, traj, ep, q0,
+                                  surface=True, dtype=dtype)
+    solve_j = jax.jit(solve)
+
+    tau_g = np.asarray(gravity_torque(model, jnp.asarray(q0, dtype)))
+    y0 = np.concatenate([q0, np.zeros(7), tau_g]).astype(np.float32)
+    rng = np.random.default_rng(0)
+
+    def make_args(B):
+        y0s = y0[None] + 0.02 * rng.normal(size=(B, 21)).astype(np.float32)
+        ts = np.full((B,), 1.2, np.float32)
+        xs = np.tile(y0s[:, None, :], (1, ep.horizon + 1, 1))
+        us = np.tile(tau_g.astype(np.float32)[None, None], (B, ep.horizon, 1))
+        return (jnp.asarray(ts), jnp.asarray(y0s), jnp.asarray(xs), jnp.asarray(us))
+
+    best = 0.0
+    best_B = 0
+    lat_ms = float("nan")
+    reps = 3
+    for B in (64, 256, 512):
+        args = make_args(B)
+        out = solve_j(*args)            # compile + warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = solve_j(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        rate = B / dt
+        if rate > best:
+            best, best_B, lat_ms = rate, B, dt * 1e3
+    # single-solve replan latency (B=1)
+    args1 = make_args(1)
+    out = solve_j(*args1)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = solve_j(*args1)
+    jax.block_until_ready(out)
+    replan_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    print(json.dumps({
+        "metric": "fddp_solves_per_s",
+        "value": round(best, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(best / 2000.0, 3),
+        "batch": best_B,
+        "batch_latency_ms": round(lat_ms, 2),
+        "replan_latency_ms_b1": round(replan_ms, 2),
+        "horizon": ep.horizon,
+        "max_iters": 10,
+        "controller": "force_feedback_augmented_contact",
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

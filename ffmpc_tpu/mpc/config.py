@@ -84,6 +84,9 @@ class ClassicalMPCConfig:
 
     # solver
     max_iters: int = 20
+    # one-off budget for cold-started solves (init / mode switch / guard
+    # reset); steady warm-started ticks use max_iters (benchmark protocol)
+    cold_start_iters: int = 40
     use_box_fddp: bool = True
     mpc_update_steps: int = 1
     use_feedback_policy: bool = True

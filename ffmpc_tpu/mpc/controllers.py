@@ -85,6 +85,14 @@ class _MPCBase:
 
         self._settings = FDDPSettings(
             max_iters=int(cfg.max_iters), use_box=bool(cfg.use_box_fddp))
+        # Cold starts (init / mode switch / divergence reset) get a one-off
+        # larger budget: the contact-phase OCP needs ~15 iterations from
+        # scratch, and running the benchmark's 10-iteration budget on a cold
+        # start applies a half-converged aggressive plan to the plant.
+        # Steady warm-started ticks use exactly cfg.max_iters.
+        self._settings_cold = FDDPSettings(
+            max_iters=max(int(cfg.max_iters), int(getattr(cfg, "cold_start_iters", 40))),
+            use_box=bool(cfg.use_box_fddp))
 
     # -- helpers mirroring the reference loop ------------------------------
 
@@ -215,15 +223,16 @@ class ClassicalMPC(_MPCBase):
         }
         self._W = W_free
         self._solve_fns = {
-            surf: self._build_solve_fn(surf) for surf in (False, True)}
+            (surf, cold): self._build_solve_fn(surf, cold)
+            for surf in (False, True) for cold in (False, True)}
 
-    def _build_solve_fn(self, surface: bool):
+    def _build_solve_fn(self, surface: bool, cold: bool):
         knot = self._knots[surface]
         N = int(self.cfg.horizon)
         W = self._W
         traj = self.traj_fn
         R_des = jnp.asarray(self.R_des, self.dtype)
-        settings = self._settings
+        settings = self._settings_cold if cold else self._settings
         model = self.model
 
         @jax.jit
@@ -272,10 +281,11 @@ class ClassicalMPC(_MPCBase):
         fn_pred = float(self.last_info.get("fn_pred", np.nan))
 
         if need_solve:
+            is_cold = self.us is None or self.xs is None
             xs_init, us_init = self._shift_guess(x0, cfg.horizon, self._tau_prev)
             tau_ref = self._tau_reference(q)
             x_reg_ref = self._posture_reference(x0)
-            res, fn_pred_dev = self._solve_fns[surface_now](
+            res, fn_pred_dev = self._solve_fns[(surface_now, is_cold)](
                 jnp.asarray(t, self.dtype), jnp.asarray(x0, self.dtype),
                 jnp.asarray(xs_init, self.dtype), jnp.asarray(us_init, self.dtype),
                 jnp.asarray(x_reg_ref, self.dtype), jnp.asarray(tau_ref, self.dtype))
@@ -352,7 +362,9 @@ class ForceFeedbackMPC(_MPCBase):
             False: make_augmented_knot(self.model, W, surface=False),
             True: make_augmented_knot(self.model, W, surface=True),
         }
-        self._solve_fns = {surf: self._build_solve_fn(surf) for surf in (False, True)}
+        self._solve_fns = {
+            (surf, cold): self._build_solve_fn(surf, cold)
+            for surf in (False, True) for cold in (False, True)}
         self._fn_pred_hist_raw: list = []
         self._fn_pred_hist_meas: list = []
         self._fn_pred_corr = np.nan
@@ -391,13 +403,13 @@ class ForceFeedbackMPC(_MPCBase):
         tau = np.asarray(getattr(obs, "tau_cmd", np.zeros(7)), dtype=float).reshape(7)
         return tau if np.all(np.isfinite(tau)) else np.zeros(7)
 
-    def _build_solve_fn(self, surface: bool):
+    def _build_solve_fn(self, surface: bool, cold: bool):
         knot = self._knots[surface]
         N = int(self.cfg.horizon)
         W = self._W
         traj = self.traj_fn
         R_des = jnp.asarray(self.R_des, self.dtype)
-        settings = self._settings
+        settings = self._settings_cold if cold else self._settings
         model = self.model
         eps = self._policy_epsilon()
 
@@ -453,10 +465,11 @@ class ForceFeedbackMPC(_MPCBase):
         fn_pred_raw = float(self.last_info.get("fn_pred_raw", np.nan))
 
         if need_solve:
+            is_cold = self.us is None or self.xs is None
             xs_init, us_init = self._shift_guess(y0, cfg.horizon, tau_hat)
             tau_ref = self._tau_reference(q)
             x_reg_ref = self._posture_reference(y0)
-            res, fn_pred_dev = self._solve_fns[surface_now](
+            res, fn_pred_dev = self._solve_fns[(surface_now, is_cold)](
                 jnp.asarray(t, self.dtype), jnp.asarray(y0, self.dtype),
                 jnp.asarray(xs_init, self.dtype), jnp.asarray(us_init, self.dtype),
                 jnp.asarray(x_reg_ref, self.dtype), jnp.asarray(tau_ref, self.dtype))

@@ -1,0 +1,138 @@
+"""Parallel-in-time Riccati backward sweep via associative scan.
+
+The sequential DDP backward pass is a composition of per-knot value-function
+updates; for affine dynamics with quadratic cost those updates form an
+associative monoid, so the whole sweep runs in O(log N) depth with
+``jax.lax.associative_scan`` (Sarkka & Garcia-Fernandez, "Temporal
+Parallelization of Bayesian Smoothers"/LQT parallelization, 2021).  On TPU
+the scan's combine steps lower to batched small matmuls and, when the knot
+axis is sharded over a mesh, the reduction rides ICI collectives — the
+long-horizon mode called for by the project brief (SURVEY.md section 5,
+"long-context" analog).
+
+Scope: exact for the unconstrained (no control-bound) Gauss-Newton
+subproblem that FDDP solves each iteration around the current trajectory,
+including feasibility-gap affine terms.  BoxFDDP's clamped backward is
+inherently sequential per knot and keeps the lax.scan path.
+
+Element parameterization (conditional value function between knots):
+    V(x_t | x_s) realized by (A, b, C, eta, J):
+      x_s* = A x_t + b + C * (dual),   value ~ 0.5 x^T J x - eta^T x
+with the standard combine rule; leaves eliminate u via the per-knot QP.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class _Elem(NamedTuple):
+    A: jnp.ndarray    # (N, nx, nx)
+    b: jnp.ndarray    # (N, nx)
+    C: jnp.ndarray    # (N, nx, nx)
+    eta: jnp.ndarray  # (N, nx)
+    J: jnp.ndarray    # (N, nx, nx)
+
+
+def _combine(e1: _Elem, e2: _Elem) -> _Elem:
+    """Associative combination of conditional-value elements.
+
+    e1 spans [s, m), e2 spans [m, t): result spans [s, t).
+    (Equations (54)-(58) of Sarkka & Garcia-Fernandez 2021.)
+    """
+    nx = e1.A.shape[-1]
+    I = jnp.eye(nx, dtype=e1.A.dtype)
+    # solve (I + C1 J2) X = ... batched
+    M = I + jnp.einsum("...ij,...jk->...ik", e1.C, e2.J)
+    Minv_A1 = jnp.linalg.solve(M, e1.A)
+    Minv_bC = jnp.linalg.solve(
+        M, (e1.b + jnp.einsum("...ij,...j->...i", e1.C, e2.eta))[..., None])[..., 0]
+    Minv_C1 = jnp.linalg.solve(M, e1.C)
+
+    Mt = I + jnp.einsum("...ij,...jk->...ik", e2.J, e1.C)
+    Mt_inv_term = jnp.linalg.solve(
+        Mt, (e2.eta - jnp.einsum("...ij,...j->...i", e2.J, e1.b))[..., None])[..., 0]
+    Mt_inv_J2A1 = jnp.linalg.solve(Mt, jnp.einsum("...ij,...jk->...ik", e2.J, e1.A))
+
+    A = jnp.einsum("...ij,...jk->...ik", e2.A, Minv_A1)
+    b = jnp.einsum("...ij,...j->...i", e2.A, Minv_bC) + e2.b
+    C = jnp.einsum("...ij,...jk,...lk->...il", e2.A, Minv_C1, e2.A) + e2.C
+    eta = jnp.einsum("...ji,...j->...i", e1.A, Mt_inv_term) + e1.eta
+    J = jnp.einsum("...ji,...jk->...ik", e1.A, Mt_inv_J2A1) + e1.J
+    return _Elem(A, b, C, eta, J)
+
+
+def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
+                     ureg: float = 0.0):
+    """All-knot value functions + gains in O(log N) depth.
+
+    Inputs are per-knot arrays with leading dim N (as produced by the
+    solver's vmapped calcDiff), fs_next = gaps fs[1:], terminal (LxT, LxxT).
+
+    Returns (K, k, Vx, Vxx) with the same conventions as the sequential
+    sweep: u_try = u_nom - alpha*k - K (x - x_nom); Vx/Vxx include the gap
+    deflection Vx_t += Vxx_t fs_t is NOT applied here (the caller handles
+    deflection, as in the sequential path).
+    """
+    N, nx = Fx.shape[0], Fx.shape[-1]
+    nu = Fu.shape[-1]
+    dtype = Fx.dtype
+    eyeu = jnp.eye(nu, dtype=dtype)
+
+    # leaf elements: eliminate u from the per-knot quadratic
+    Luu_r = Luu + ureg * eyeu
+    Luu_chol = jnp.linalg.cholesky(Luu_r)
+
+    def solve_u(rhs):
+        return jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))(
+            Luu_chol, rhs)
+
+    Kuu_inv_Lu = solve_u(Lu)                       # (N, nu)
+    Kuu_inv_Lxu = solve_u(jnp.swapaxes(Lxu, -1, -2))  # (N, nu, nx)
+    Kuu_inv_Fu = solve_u(jnp.swapaxes(Fu, -1, -2))    # (N, nu, nx)
+
+    # A = Fx - Fu Luu^-1 Lxu^T ; affine term carries the gap + feedforward
+    A = Fx - jnp.einsum("...iu,...uj->...ij", Fu, Kuu_inv_Lxu)
+    b = fs_next - jnp.einsum("...iu,...u->...i", Fu, Kuu_inv_Lu)
+    C = jnp.einsum("...iu,...uj->...ij", Fu, Kuu_inv_Fu)
+    eta = -(Lx - jnp.einsum("...iu,...u->...i", Lxu, Kuu_inv_Lu))
+    J = Lxx - jnp.einsum("...iu,...uj->...ij", Lxu, Kuu_inv_Lxu)
+
+    # terminal element
+    A_T = jnp.zeros((1, nx, nx), dtype)
+    b_T = jnp.zeros((1, nx), dtype)
+    C_T = jnp.zeros((1, nx, nx), dtype)
+    eta_T = -LxT[None]
+    J_T = LxxT[None]
+
+    elems = _Elem(
+        A=jnp.concatenate([A, A_T], axis=0),
+        b=jnp.concatenate([b, b_T], axis=0),
+        C=jnp.concatenate([C, C_T], axis=0),
+        eta=jnp.concatenate([eta, eta_T], axis=0),
+        J=jnp.concatenate([J, J_T], axis=0),
+    )
+
+    # suffix combine (reverse): result[t] spans [t, N].  With reverse=True
+    # jax feeds operands as (later, earlier), so flip them into _combine's
+    # (earlier, later) convention.
+    acc = jax.lax.associative_scan(lambda a, b: _combine(b, a), elems,
+                                   reverse=True)
+    Vx = -acc.eta          # (N+1, nx): gradient of value at each knot
+    Vxx = acc.J            # (N+1, nx, nx)
+
+    # gains from the (gap-deflected) V_{t+1}
+    Vx1, Vxx1 = Vx[1:], Vxx[1:]
+    Qu = Lu + jnp.einsum("...iu,...i->...u", Fu,
+                         Vx1 + jnp.einsum("...ij,...j->...i", Vxx1, fs_next))
+    Qxu = Lxu + jnp.einsum("...ik,...kl,...lu->...iu", jnp.swapaxes(Fx, -1, -2), Vxx1, Fu)
+    Quu = Luu_r + jnp.einsum("...iu,...ij,...jv->...uv", Fu, Vxx1, Fu)
+
+    Quu_chol = jnp.linalg.cholesky(Quu)
+    k = jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))(Quu_chol, Qu)
+    K = jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))(
+        Quu_chol, jnp.swapaxes(Qxu, -1, -2))
+    return K, k, Vx, Vxx

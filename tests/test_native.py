@@ -1,0 +1,59 @@
+"""Cross-check the C++ native library against the JAX core kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ffmpc_tpu.core import make_panda_model, fk, rnea, mass_matrix
+
+try:
+    from ffmpc_tpu.utils.native import (
+        native_fk, native_rnea, native_mass_matrix, NativeRingLogger)
+    _load_err = None
+except Exception as e:   # toolchain missing
+    _load_err = e
+
+pytestmark = pytest.mark.skipif(_load_err is not None,
+                                reason=f"native lib unavailable: {_load_err}")
+
+
+@pytest.fixture(scope="module")
+def panda():
+    return make_panda_model("plant", dtype=jnp.float64)
+
+
+def test_native_matches_jax(panda):
+    rng = np.random.default_rng(0)
+    for _ in range(16):
+        q = rng.uniform(-2.0, 2.0, 7)
+        v = rng.normal(size=7)
+        a = rng.normal(size=7)
+        p_n, R_n = native_fk(q)
+        res = fk(panda, jnp.asarray(q))
+        assert np.allclose(p_n, np.asarray(res.ee_p), atol=1e-12)
+        assert np.allclose(R_n, np.asarray(res.ee_R), atol=1e-12)
+        tau_n = native_rnea(q, v, a)
+        tau_j = np.asarray(rnea(panda, jnp.asarray(q), jnp.asarray(v), jnp.asarray(a)))
+        assert np.allclose(tau_n, tau_j, atol=1e-10)
+    q = rng.uniform(-2.0, 2.0, 7)
+    M_n = native_mass_matrix(q)
+    M_j = np.asarray(mass_matrix(panda, jnp.asarray(q)))
+    # native M omits armature by the gravity-difference trick? it includes it
+    assert np.allclose(M_n, M_j, atol=1e-10)
+
+
+def test_ring_logger_overflow():
+    lg = NativeRingLogger(3, capacity=4)
+    for k in range(10):
+        lg.push(np.full(3, float(k)))
+    assert lg.dropped == 6
+    out = lg.drain()
+    # only the last 4 records survive
+    assert out.shape == (4, 3)
+    assert out[0, 0] == 6.0 and out[-1, 0] == 9.0
+    # drain again: nothing new
+    assert lg.drain().shape[0] == 0
+    lg.push(np.full(3, 42.0))
+    out = lg.drain()
+    assert out.shape == (1, 3) and out[0, 0] == 42.0
+    lg.close()
