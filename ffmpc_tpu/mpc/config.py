@@ -84,9 +84,13 @@ class ClassicalMPCConfig:
 
     # solver
     max_iters: int = 20
-    # one-off budget for cold-started solves (init / mode switch / guard
-    # reset); steady warm-started ticks use max_iters (benchmark protocol)
-    cold_start_iters: int = 40
+    # Optional one-off budget for cold-started solves (init / mode switch /
+    # guard reset); <= 0 means "use max_iters" (the benchmark protocol).
+    # NOTE: larger cold budgets are NOT automatically better — this OCP is
+    # multimodal from pressed states, and fully-converged cold solutions can
+    # be aggressive bang-bang plans; the 10-iteration budget doubles as
+    # implicit regularization keeping the plan near the gentle warm start.
+    cold_start_iters: int = 0
     use_box_fddp: bool = True
     mpc_update_steps: int = 1
     use_feedback_policy: bool = True

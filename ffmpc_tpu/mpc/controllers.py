@@ -85,13 +85,11 @@ class _MPCBase:
 
         self._settings = FDDPSettings(
             max_iters=int(cfg.max_iters), use_box=bool(cfg.use_box_fddp))
-        # Cold starts (init / mode switch / divergence reset) get a one-off
-        # larger budget: the contact-phase OCP needs ~15 iterations from
-        # scratch, and running the benchmark's 10-iteration budget on a cold
-        # start applies a half-converged aggressive plan to the plant.
-        # Steady warm-started ticks use exactly cfg.max_iters.
+        # Cold starts (init / mode switch / divergence reset) may get their
+        # own budget (see config note: bigger is not automatically better).
+        cold_iters = int(getattr(cfg, "cold_start_iters", 0))
         self._settings_cold = FDDPSettings(
-            max_iters=max(int(cfg.max_iters), int(getattr(cfg, "cold_start_iters", 40))),
+            max_iters=cold_iters if cold_iters > 0 else int(cfg.max_iters),
             use_box=bool(cfg.use_box_fddp))
 
     # -- helpers mirroring the reference loop ------------------------------

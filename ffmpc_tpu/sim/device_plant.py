@@ -62,8 +62,11 @@ def make_table_params(tilt_deg: float = 0.0, dtype=jnp.float32,
     point = body + R @ np.array([0.0, 0.0, plane_offset])
     normal = R @ np.array([0.0, 0.0, 1.0])
     c = lambda v: jnp.asarray(v, dtype)
+    # includemargin: MuJoCo sums the two geoms' margins (ee_collision 1 mm +
+    # table_contact 1 mm -> 2 mm force-onset distance; verified against
+    # mjContact.includemargin).
     return TableParams(
-        point=c(point), normal=c(normal), margin=c(1.0e-3),
+        point=c(point), normal=c(normal), margin=c(2.0e-3),
         timeconst=c(0.02), dampratio=c(1.0),
         dmin=c(0.9), dmax=c(0.95), width=c(1.0e-3), midpoint=c(0.5),
         power=c(2.0),

@@ -230,7 +230,15 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             dVexp = alpha * (d1 + 0.5 * alpha * d2)
             finite = jnp.isfinite(cost_try)
             ok_pos = (dVexp >= 0) & ((d1 < S.th_grad) | (dV > S.th_acceptstep * dVexp))
-            ok_neg = (dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
+            # Negative-improvement (gap-contraction) acceptance, with a
+            # robustness clamp beyond Crocoddyl's th_acceptnegstep: when a
+            # near-singular Quu produces a divergent rollout, the dv gap
+            # correction can drive dVexp to -inf and the bare Goldstein test
+            # would accept an astronomically worse trajectory.  Gap
+            # contraction legitimately costs at most a modest factor.
+            cost_guard = jnp.maximum(10.0 * cost_cur, cost_cur + 1e3)
+            ok_neg = ((dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
+                      & (cost_try < cost_guard))
             accepted = finite & (ok_pos | ok_neg)
             return (i + 1, accepted, xs_try, us_try, cost_try, alpha)
 

