@@ -102,6 +102,23 @@ class ClassicalMPCConfig:
     fallback_dq_damping: float = 5.0
     contact_release_steps: int = 25
 
+    # Solution-acceptance gate (robustness addition beyond the reference):
+    # a warm-started resolve whose cost exceeds solve_reject_factor x the
+    # last accepted cost is treated as non-converged chatter — the stored
+    # plan's Riccati policy keeps executing instead of applying the junk
+    # solution.  After max_bad_solves consecutive rejections the reference's
+    # hard-reset guard path takes over.  Set factor <= 0 to disable
+    # (reference behavior: every solve is applied).
+    solve_reject_factor: float = 50.0
+    max_bad_solves: int = 40
+
+    # Keep the warm start across free<->contact mode switches (the knot
+    # state space is identical; the incumbent smooth plan is a far better
+    # initialization than the reference's cold reset
+    # (crocoddyl_classical.py:320-329), whose half-converged first contact
+    # solve jerks the arm).  Set True to mirror the reference exactly.
+    reset_warmstart_on_mode_switch: bool = False
+
     @property
     def dt_ocp_eff(self) -> float:
         return float(max(self.dt if self.dt_ocp is None else self.dt_ocp, 1e-6))

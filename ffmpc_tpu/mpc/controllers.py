@@ -78,6 +78,8 @@ class _MPCBase:
         self._surface_latched = False
         self._contact_loss_count = 0
         self._prev_surface_mode: Optional[bool] = None
+        self._last_good_cost: Optional[float] = None
+        self._bad_streak = 0
         self.last_info: dict = {"ok": False, "cost": np.nan, "iters": -1,
                                 "tau_raw_inf": np.nan, "tau_cmd_inf": np.nan,
                                 "surface_mode": False, "unstable": False,
@@ -128,9 +130,13 @@ class _MPCBase:
         if self._prev_surface_mode is None:
             self._prev_surface_mode = bool(surface_now)
         elif bool(surface_now) != self._prev_surface_mode:
-            self.xs = self.us = self.Ks = None
-            self._last_solve_step = _NEG_INF_STEP
+            if bool(getattr(self.cfg, "reset_warmstart_on_mode_switch", True)):
+                self.xs = self.us = self.Ks = None
+                self._last_solve_step = _NEG_INF_STEP
             self._prev_surface_mode = bool(surface_now)
+            # the cost scale changes across modes: re-anchor the gate
+            self._last_good_cost = None
+            self._bad_streak = 0
 
     def _safe_tau(self, tau_target: np.ndarray) -> np.ndarray:
         """Hard clip + optional trust/slew/EMA filter (reference _safe_tau,
@@ -190,6 +196,34 @@ class _MPCBase:
             self.xs = np.concatenate([self.xs[1:], self.xs[-1:]], axis=0)
         if self.Ks is not None and len(self.Ks) > 1:
             self.Ks = np.concatenate([self.Ks[1:], self.Ks[-1:]], axis=0)
+
+    def _accept_solution(self, res) -> bool:
+        """Solution-acceptance gate (see config.solve_reject_factor)."""
+        cost = float(res.cost)
+        us0 = np.asarray(res.us[0], dtype=float)
+        if not (np.isfinite(cost) and np.all(np.isfinite(us0))):
+            return False
+        factor = float(getattr(self.cfg, "solve_reject_factor", 0.0))
+        if factor <= 0.0 or self._last_good_cost is None:
+            return True
+        return cost <= factor * max(self._last_good_cost, 1.0)
+
+    def _register_solution(self, res) -> bool:
+        if self._accept_solution(res):
+            self.xs = np.asarray(res.xs)
+            self.us = np.asarray(res.us)
+            self.Ks = np.asarray(res.K)
+            self._last_good_cost = float(res.cost)
+            self._bad_streak = 0
+            return True
+        self._bad_streak += 1
+        if self._bad_streak > int(getattr(self.cfg, "max_bad_solves", 40)):
+            # prolonged failure: fall back to the reference's hard reset
+            self.xs = self.us = self.Ks = None
+            self._last_solve_step = _NEG_INF_STEP
+            self._last_good_cost = None
+            self._bad_streak = 0
+        return False
 
     def _tau_reference(self, q_now: np.ndarray) -> np.ndarray:
         mode = str(self.cfg.torque_ref_mode).strip().lower()
@@ -296,11 +330,11 @@ class ClassicalMPC(_MPCBase):
             self._last_solve_ok = ok
             self._last_solve_cost = cost
             self._last_solve_iters = iters
-            us = np.asarray(res.us)
-            if np.all(np.isfinite(us[0])):
-                self.xs = np.asarray(res.xs)
-                self.us = us
-                self.Ks = np.asarray(res.K)
+            accepted = self._register_solution(res)
+            if not accepted:
+                # keep executing the stored plan's policy this tick
+                solved_now = False
+                cost = self._last_good_cost if self._last_good_cost is not None else cost
 
         tau_raw, policy_idx = self._policy_control(x0)
 
@@ -480,11 +514,10 @@ class ForceFeedbackMPC(_MPCBase):
             self._last_solve_ok = ok
             self._last_solve_cost = cost
             self._last_solve_iters = iters
-            us = np.asarray(res.us)
-            if np.all(np.isfinite(us[0])):
-                self.xs = np.asarray(res.xs)
-                self.us = us
-                self.Ks = np.asarray(res.K)
+            accepted = self._register_solution(res)
+            if not accepted:
+                solved_now = False
+                cost = self._last_good_cost if self._last_good_cost is not None else cost
 
         tau_des, policy_idx = self._policy_control(y0)
         tau_raw = np.asarray(tau_des, dtype=float).copy()

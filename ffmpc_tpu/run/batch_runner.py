@@ -48,9 +48,29 @@ class EpisodeConfig:
     posture_ref_q_nom: bool = True
 
 
+@dataclass(frozen=True)
+class DeviceUncertainty:
+    """On-device benchmark uncertainty protocol (scan-carried equivalent of
+    ScenarioUncertaintyInjector, reference uncertainty_profiles.py:84-161).
+
+    At the 200 Hz control loop the reference's 2 ms obs / 1 ms cmd delays
+    round to zero control steps (uncertainty_profiles.py:101-105), so the
+    device path applies the actuation gain/bias and Gaussian sensor noise;
+    delays are reintroduced automatically when dt_mpc < 2 ms.
+    """
+    a: float = 1.0          # actuation gain
+    b: float = 0.0          # actuation bias [Nm]
+    sigma_q: float = 0.0
+    sigma_dq: float = 0.0
+    sigma_tau: float = 0.0
+    seed: int = 0
+
+
 def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
                     traj, table: TableParams, ep: EpisodeConfig,
-                    q_nom, torque_scale=None, dtype=jnp.float32):
+                    q_nom, torque_scale=None,
+                    uncertainty: DeviceUncertainty | None = None,
+                    dtype=jnp.float32):
     """Build a jittable episode function.
 
     episode(q0) -> dict of per-tick telemetry arrays.  vmap over q0 for
@@ -79,11 +99,22 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
             tau_ref, R_des, y_ref=(x0 if is_ff else None), dtype=dtype)
         return fddp_solve(knot, refs_run, ref_T, x0, xs_w, us_w, settings)
 
+    unc = uncertainty
+
     def tick(carry, t):
         plant, xs_w, us_w, tau_prev = carry
         q, v = plant.q, plant.v
+        if unc is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(unc.seed),
+                                     (t / ep.dt_mpc).astype(jnp.int32))
+            kq, kv, kt = jax.random.split(key, 3)
+            q = q + unc.sigma_q * jax.random.normal(kq, q.shape, dtype)
+            v = v + unc.sigma_dq * jax.random.normal(kv, v.shape, dtype)
         if is_ff:
             tau_hat = plant.tau_meas_act_filt
+            if unc is not None:
+                tau_hat = (unc.a * tau_hat + unc.b
+                           + unc.sigma_tau * jax.random.normal(kt, tau_hat.shape, dtype))
             x0 = jnp.concatenate([q, v, tau_hat])
         else:
             x0 = jnp.concatenate([q, v])
@@ -122,8 +153,14 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
         tau_cmd = jnp.where(unstable, tau_fallback, tau_raw)
         tau_cmd = jnp.clip(tau_cmd, -tau_limit, tau_limit)
 
+        tau_applied = tau_cmd * tscale
+        if unc is not None:
+            # actuation gain/bias + noise on the plant-side command
+            kcmd = jax.random.fold_in(key, 7919)
+            tau_applied = (unc.a * tau_cmd + unc.b
+                           + unc.sigma_tau * jax.random.normal(kcmd, tau_cmd.shape, dtype))
         plant_new, obs = plant_step(
-            model, table, plant, tau_cmd * tscale,
+            model, table, plant, tau_applied,
             timestep=ep.plant_timestep, n_substeps=ep.n_substeps)
 
         p_ref, _, _ = traj(t + ep.dt_mpc)

@@ -149,6 +149,8 @@ def run_single(
     dtype=None,
     verbose: bool = True,
     progress_every: int = 100,
+    z_contact_offset: Optional[float] = None,   # None -> protocol value
+    config_patch=None,                          # callable(cfg) -> cfg override
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -170,7 +172,8 @@ def run_single(
 
     _, table_center, table_half, z_table_top = table_geometry_world(sim)
     r_tool = float(sim.model.geom_size[sim.ee_geom_id][0])
-    z_contact_offset = -8.0e-3 if benchmark_mode else 2.0e-4
+    if z_contact_offset is None:
+        z_contact_offset = -8.0e-3 if benchmark_mode else 2.0e-4
     z_contact = z_table_top + r_tool + z_contact_offset
     z_pre = z_contact + (0.05 if benchmark_mode else 0.08)
     say(f"dt={sim.dt:.4f}s z_contact={z_contact:.4f}  EE0={obs.ee_pos}")
@@ -198,6 +201,8 @@ def run_single(
                if benchmark_mode else
                dev_classical_config(z_contact, sim.dt, contact_model,
                                     phase_source, max_iters, use_command_filter))
+        if config_patch is not None:
+            cfg = config_patch(cfg) or cfg
         mpc = ClassicalMPC(sim, traj, cfg, model_variant=model_variant, dtype=dtype)
     elif controller == "force_feedback":
         cfg = (benchmark_ff_config(z_contact, sim.dt, contact_model,
@@ -205,6 +210,8 @@ def run_single(
                if benchmark_mode else
                dev_ff_config(z_contact, sim.dt, contact_model, phase_source,
                              max_iters, use_command_filter, ff_tau_state_source))
+        if config_patch is not None:
+            cfg = config_patch(cfg) or cfg
         mpc = ForceFeedbackMPC(sim, traj, cfg, model_variant=model_variant, dtype=dtype)
     else:
         raise ValueError(f"unknown controller '{controller}'")
@@ -267,6 +274,8 @@ def run_single(
 
         logger.log(
             t=t,
+            q=np.asarray(obs.q).copy(),
+            dq=np.asarray(obs.dq).copy(),
             ee_pos=np.asarray(obs.ee_pos).copy(),
             ee_ref=p_ref.copy(),
             ee_vel=np.asarray(obs.ee_vel).copy(),

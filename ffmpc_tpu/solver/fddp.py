@@ -52,6 +52,10 @@ class FDDPSettings:
     th_stepinc: float = 0.01
     use_box: bool = True
     boxqp_iters: int = 8
+    # bound on cost increases accepted through the gap-contraction branch
+    # (see acceptance comment in the line search)
+    neg_step_cost_factor: float = 1.2
+    neg_step_cost_slack: float = 10.0
 
 
 class FDDPResult(NamedTuple):
@@ -231,12 +235,15 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             finite = jnp.isfinite(cost_try)
             ok_pos = (dVexp >= 0) & ((d1 < S.th_grad) | (dV > S.th_acceptstep * dVexp))
             # Negative-improvement (gap-contraction) acceptance, with a
-            # robustness clamp beyond Crocoddyl's th_acceptnegstep: when a
-            # near-singular Quu produces a divergent rollout, the dv gap
+            # robustness clamp beyond Crocoddyl's th_acceptnegstep.  The
+            # positive branch only ever decreases cost; all increases flow
+            # through here.  With a stiff contact-force Hessian the dv gap
             # correction can drive dVexp to -inf and the bare Goldstein test
-            # would accept an astronomically worse trajectory.  Gap
-            # contraction legitimately costs at most a modest factor.
-            cost_guard = jnp.maximum(10.0 * cost_cur, cost_cur + 1e3)
+            # accepts arbitrarily worse trajectories — compounding 10x per
+            # iteration into 1e10 blowups observed in closed loop.  Gap
+            # contraction legitimately costs a few percent, not orders of
+            # magnitude: bound each accepted increase multiplicatively.
+            cost_guard = S.neg_step_cost_factor * cost_cur + S.neg_step_cost_slack
             ok_neg = ((dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
                       & (cost_try < cost_guard))
             accepted = finite & (ok_pos | ok_neg)
