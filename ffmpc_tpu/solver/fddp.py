@@ -233,7 +233,16 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             d2 = dq - 2.0 * dv
             dVexp = alpha * (d1 + 0.5 * alpha * d2)
             finite = jnp.isfinite(cost_try)
-            ok_pos = (dVexp >= 0) & ((d1 < S.th_grad) | (dV > S.th_acceptstep * dVexp))
+            cost_guard = S.neg_step_cost_factor * cost_cur + S.neg_step_cost_slack
+            # The th_grad escape hatch means "expected gradient negligible,
+            # accept to avoid stalling".  Crocoddyl tests d1 < th_grad, which
+            # a strongly NEGATIVE d1 (gap-corrected model pointing uphill,
+            # with d2 > 0 making dVexp >= 0) also satisfies — an
+            # unconditional acceptance of arbitrarily worse rollouts.
+            # Require the gradient to actually be small and bound the cost.
+            ok_pos = (dVexp >= 0) & (
+                ((jnp.abs(d1) < S.th_grad) & (cost_try < cost_guard))
+                | (dV > S.th_acceptstep * dVexp))
             # Negative-improvement (gap-contraction) acceptance, with a
             # robustness clamp beyond Crocoddyl's th_acceptnegstep.  The
             # positive branch only ever decreases cost; all increases flow
@@ -243,7 +252,6 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             # iteration into 1e10 blowups observed in closed loop.  Gap
             # contraction legitimately costs a few percent, not orders of
             # magnitude: bound each accepted increase multiplicatively.
-            cost_guard = S.neg_step_cost_factor * cost_cur + S.neg_step_cost_slack
             ok_neg = ((dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
                       & (cost_try < cost_guard))
             accepted = finite & (ok_pos | ok_neg)
