@@ -50,11 +50,17 @@ def main():
         us = np.tile(tau_g.astype(np.float32)[None, None], (B, ep.horizon, 1))
         return (jnp.asarray(ts), jnp.asarray(y0s), jnp.asarray(xs), jnp.asarray(us))
 
+    import os
+    # Each batch size is a separate XLA executable; compiles through the
+    # axon tunnel are expensive, so the default run measures one batch size
+    # (override with FFMPC_BENCH_BATCHES="64,256,512").
+    batches = tuple(int(b) for b in
+                    os.environ.get("FFMPC_BENCH_BATCHES", "256").split(","))
     best = 0.0
     best_B = 0
     lat_ms = float("nan")
     reps = 3
-    for B in (64, 256, 512):
+    for B in batches:
         args = make_args(B)
         out = solve_j(*args)            # compile + warm
         jax.block_until_ready(out)
@@ -66,15 +72,17 @@ def main():
         rate = B / dt
         if rate > best:
             best, best_B, lat_ms = rate, B, dt * 1e3
-    # single-solve replan latency (B=1)
-    args1 = make_args(1)
-    out = solve_j(*args1)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
+    if os.environ.get("FFMPC_BENCH_FULL"):
+        args1 = make_args(1)
         out = solve_j(*args1)
-    jax.block_until_ready(out)
-    replan_ms = (time.perf_counter() - t0) / 5 * 1e3
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = solve_j(*args1)
+        jax.block_until_ready(out)
+        replan_ms = (time.perf_counter() - t0) / 5 * 1e3
+    else:
+        replan_ms = float("nan")
 
     print(json.dumps({
         "metric": "fddp_solves_per_s",

@@ -264,6 +264,16 @@ def run_single(
         in_contact = fn_meas > CONTACT_THRESHOLD
         info = dict(mpc.last_info)
         fn_pred = float(info.get("fn_pred", np.nan))
+        ff_extra = {}
+        if controller == "force_feedback":
+            # FF-specific channels (reference run_force_feedback.py:485-519)
+            ff_extra = dict(
+                fn_pred_raw=float(info.get("fn_pred_raw", np.nan)),
+                tau_des_inf=float(info.get("tau_des_inf", np.nan)),
+                tau_meas_state_inf=float(info.get("tau_meas_state_inf", np.nan)),
+                tau_meas_act=np.asarray(obs.tau_meas_act).copy(),
+                tau_meas_act_filt=np.asarray(obs.tau_meas_act_filt).copy(),
+            )
 
         summary["t"].append(t)
         summary["err_tan"].append(err_tan)
@@ -299,6 +309,7 @@ def run_single(
             solver_policy_idx=int(info.get("policy_idx", -1)),
             tau_raw_inf=float(info.get("tau_raw_inf", np.nan)),
             tau_cmd_inf=float(info.get("tau_cmd_inf", np.nan)),
+            **ff_extra,
         )
         if verbose and (k % progress_every == 0):
             say(f"k={k:5d} t={t:6.3f}s err_tan={err_tan:.4f} err3d={err_3d:.4f} "
