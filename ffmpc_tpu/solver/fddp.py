@@ -215,14 +215,13 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         (K, kff, stop, dg, dq, bw_bad, Vxx_all), (xreg, ureg) = jax.lax.while_loop(
             bw_cond, bw_body, st0)
 
-        # line search over alphas (first acceptable)
-        def ls_cond(st):
-            i, accepted, *_ = st
-            return (~accepted) & (i < S.n_alphas)
-
-        def ls_body(st):
-            i, _, _, _, _, _ = st
-            alpha = alphas[i]
+        # Line search: ALL step lengths roll out in one batched scan (vmap
+        # over alpha), then the largest acceptable alpha is selected.
+        # Equivalent to Crocoddyl's first-acceptable descending sweep, but
+        # with fixed one-pass cost — crucial under vmap(solve), where a
+        # while_loop line search would run worst-case trips for the whole
+        # batch of problems.
+        def try_alpha(alpha):
             xs_try, us_try, cost_try = forward(c.xs, c.us, K, kff, fs, alpha, feasible)
             dV = cost_cur - cost_try
             # gap-aware expected improvement (crocoddyl FDDP::expectedImprovement)
@@ -254,13 +253,15 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             # magnitude: bound each accepted increase multiplicatively.
             ok_neg = ((dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
                       & (cost_try < cost_guard))
-            accepted = finite & (ok_pos | ok_neg)
-            return (i + 1, accepted, xs_try, us_try, cost_try, alpha)
+            return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg)
 
-        dummy = (jnp.int32(0), jnp.asarray(False),
-                 c.xs, c.us, cost_cur, jnp.asarray(1.0, dtype))
-        i_f, accepted, xs_try, us_try, cost_try, alpha_f = jax.lax.while_loop(
-            ls_cond, ls_body, dummy)
+        xs_tries, us_tries, cost_tries, ok_flags = jax.vmap(try_alpha)(alphas)
+        accepted = jnp.any(ok_flags)
+        sel = jnp.argmax(ok_flags)        # first True == largest alpha
+        xs_try = xs_tries[sel]
+        us_try = us_tries[sel]
+        cost_try = cost_tries[sel]
+        alpha_f = alphas[sel]
 
         xs_new = jnp.where(accepted, xs_try, c.xs)
         us_new = jnp.where(accepted, us_try, c.us)
