@@ -319,10 +319,17 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool) -> Knot
 
 
 def _value_and_jac(raw, ref, x, u):
-    """(value, (d/dx, d/du)) of raw(ref, x, u) in one pass each."""
-    val = raw(ref, x, u)
-    jac_x = jax.jacfwd(lambda xx: raw(ref, xx, u))(x)
-    jac_u = jax.jacfwd(lambda uu: raw(ref, x, uu))(u)
+    """(value, (d/dx, d/du)) of raw(ref, x, u).
+
+    One jacfwd over the concatenated (x, u) vector: a single (nx+nu)-tangent
+    sweep through the dynamics chain instead of two separate passes."""
+    nx = x.shape[0]
+    z = jnp.concatenate([x, u])
+    fun = lambda zz: raw(ref, zz[:nx], zz[nx:])
+    val = fun(z)
+    jac = jax.jacfwd(fun)(z)
+    jac_x = jax.tree.map(lambda a: a[..., :nx], jac)
+    jac_u = jax.tree.map(lambda a: a[..., nx:], jac)
     return val, (jac_x, jac_u)
 
 
@@ -393,11 +400,8 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool) -> Knot
         return ynext, _assemble_cost(full_spec, res, dt, False, y.dtype)
 
     def diff(ref, y, w):
-        ynext, res = raw(ref, y, w, False)
-        Jx = jax.jacfwd(lambda yy: raw(ref, yy, w, False))(y)
-        Ju = jax.jacfwd(lambda ww: raw(ref, y, ww, False))(w)
-        Fx, Jx_res = Jx
-        Fu, Ju_res = Ju
+        (ynext, res), ((Fx, Jx_res), (Fu, Ju_res)) = _value_and_jac(
+            lambda r, yy, ww: raw(r, yy, ww, False), ref, y, w)
         cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
             full_spec, res, Jx_res, Ju_res, dt, False, nx, nu, y.dtype)
         return KnotDeriv(ynext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)

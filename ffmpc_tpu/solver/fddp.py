@@ -56,6 +56,9 @@ class FDDPSettings:
     # (see acceptance comment in the line search)
     neg_step_cost_factor: float = 1.2
     neg_step_cost_slack: float = 10.0
+    # unroll factor for the sequential knot sweeps: amortizes per-step
+    # dispatch latency on TPU (the sweeps are latency- not FLOP-bound)
+    scan_unroll: int = 5
 
 
 class FDDPResult(NamedTuple):
@@ -159,7 +162,8 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             return (Vx_new, Vxx_new), out
 
         (_, _), outs = jax.lax.scan(
-            step, (VxT, VxxT), (derivs, fs[:-1], us), reverse=True)
+            step, (VxT, VxxT), (derivs, fs[:-1], us), reverse=True,
+            unroll=S.scan_unroll)
         K, kff, qu2, dg_t, dq_t, bad, Vxx_run = outs
         dg = jnp.sum(dg_t) - jnp.where(feasible, 0.0, 1.0) * (VxT @ fs[-1])
         dq = jnp.sum(dq_t) + jnp.where(feasible, 0.0, 1.0) * (fs[-1] @ (VxxT @ fs[-1]))
@@ -181,7 +185,8 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             return xnext, (x, u, cost)
 
         xN, (xs_run, us_try, costs) = jax.lax.scan(
-            step, x0, (refs_run, xs[:-1], us, K, kff, fs[1:]))
+            step, x0, (refs_run, xs[:-1], us, K, kff, fs[1:]),
+            unroll=S.scan_unroll)
         cost_T = knot.term_calc(ref_T, xN)
         xs_try = jnp.concatenate([xs_run, xN[None]], axis=0)
         cost_try = jnp.sum(costs) + cost_T
