@@ -30,8 +30,11 @@ def main():
 
     dtype = jnp.float32
     model, W, _, traj, ep0, q0 = _common(dtype, horizon=40, max_iters=10)
+    import os as _os
     from ffmpc_tpu.solver.fddp import FDDPSettings
-    settings = FDDPSettings(max_iters=10, use_box=True)
+    settings = FDDPSettings(
+        max_iters=10, use_box=True,
+        scan_unroll=int(_os.environ.get("FFMPC_SCAN_UNROLL", "1")))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
                        ff_alpha_ctrl=ep0.ff_alpha_ctrl)

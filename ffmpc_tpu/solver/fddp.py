@@ -56,9 +56,9 @@ class FDDPSettings:
     # (see acceptance comment in the line search)
     neg_step_cost_factor: float = 1.2
     neg_step_cost_slack: float = 10.0
-    # unroll factor for the sequential knot sweeps: amortizes per-step
-    # dispatch latency on TPU (the sweeps are latency- not FLOP-bound)
-    scan_unroll: int = 5
+    # unroll factor for the sequential knot sweeps (1 = plain scan; measured
+    # faster than unrolling on the current backend)
+    scan_unroll: int = 1
 
 
 class FDDPResult(NamedTuple):
