@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .panda import PandaModel
 from .kinematics import FKResult, fk, ee_jacobian
+from .smallchol import chol_factor, chol_solve, spd_solve
 from .spatial import rot_z
 
 _EZ = jnp.array([0.0, 0.0, 1.0])
@@ -139,8 +140,9 @@ def fwd_dynamics_free(model: PandaModel, q, v, tau):
     """
     M = mass_matrix(model, q)
     b = bias_forces(model, q, v)
-    L = jnp.linalg.cholesky(M)
-    return jax.scipy.linalg.cho_solve((L, True), (tau - b)[..., None])[..., 0]
+    # unrolled small-matrix solve: fuses into the surrounding chain (no
+    # cholesky/triangular-solve library-call dispatch barriers)
+    return spd_solve(M, tau - b)
 
 
 class ContactDynOut(NamedTuple):
@@ -195,7 +197,7 @@ def fwd_dynamics_contact(model: PandaModel, q, v, tau, *,
 
     M = mass_matrix(model, q)
     b = bias_forces(model, q, v)
-    L = jnp.linalg.cholesky(M)
+    L = chol_factor(M)
 
     vel_c = jnp.einsum("...ij,...j->...i", Jc, v)
     if nc1:
@@ -205,16 +207,15 @@ def fwd_dynamics_contact(model: PandaModel, q, v, tau, *,
         gap = fk_res.ee_p - jnp.asarray(ref_pos, q.dtype)
     a_des = -gamma - baumgarte_kp * gap - baumgarte_kd * vel_c
 
-    tau_eff = (tau - b)[..., None]                           # (...,7,1)
-    Minv_tau = jax.scipy.linalg.cho_solve((L, True), tau_eff)[..., 0]
-    Minv_Jt = jax.scipy.linalg.cho_solve((L, True), jnp.swapaxes(Jc, -1, -2))
+    Minv_tau = chol_solve(L, tau - b)
+    Minv_Jt = chol_solve(L, jnp.swapaxes(Jc, -1, -2))
     S = jnp.einsum("...ij,...jk->...ik", Jc, Minv_Jt)        # J M^-1 J^T (nc,nc)
     S = S + damping_c * jnp.eye(nc, dtype=q.dtype)
 
     # lambda = (J M^-1 J^T + cI)^{-1} (a_des - J M^-1 (tau - b)):
     # the constraint force ON the robot (positive = table pushes the ee up).
     rhs = a_des - jnp.einsum("...ij,...j->...i", Jc, Minv_tau)
-    f = jnp.linalg.solve(S, rhs[..., None])[..., 0]          # (..., nc)
+    f = spd_solve(S, rhs)                                    # (..., nc)
 
     acc = Minv_tau + jnp.einsum("...ij,...j->...i", Minv_Jt, f)
     return ContactDynOut(acc=acc, force=f, fk_res=fk_res)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..core.panda import PandaModel, TOOL_SPHERE_RADIUS
 from ..core.kinematics import fk, ee_jacobian
 from ..core.dynamics import rnea, mass_matrix
+from ..core.smallchol import chol_factor, chol_solve, spd_solve
 
 
 class TableParams(NamedTuple):
@@ -134,7 +135,7 @@ def _contact_force(model: PandaModel, table: TableParams, q, v, minv_tau, M_L,
     # A = J M^-1 J^T (scalar), a0 = J M^-1 (tau - bias) (drift Jdot*v omitted:
     # negligible at 1 kHz for this geometry and absent from the regularized
     # single-contact solve's dominant balance)
-    Minv_Jt = jax.scipy.linalg.cho_solve((M_L, True), Jn[..., None])[..., 0]
+    Minv_Jt = chol_solve(M_L, Jn)
     A = jnp.einsum("...i,...i->...", Jn, Minv_Jt)
     a0 = jnp.einsum("...i,...i->...", Jn, minv_tau)
     R = jnp.maximum(A * (1.0 - d) / jnp.maximum(d, 1e-6), 1e-12)
@@ -165,10 +166,10 @@ def plant_step(model: PandaModel, table: TableParams, state: PlantState,
         vel_n = jnp.einsum("...i,...i->...", Jn, v)
 
         M = mass_matrix(model, q)
-        M_L = jnp.linalg.cholesky(M)
+        M_L = chol_factor(M)
         bias_nodamp = rnea(model, q, v, jnp.zeros_like(q)) - D * v
         tau_eff = tau_cmd - bias_nodamp
-        minv_tau = jax.scipy.linalg.cho_solve((M_L, True), tau_eff[..., None])[..., 0]
+        minv_tau = chol_solve(M_L, tau_eff)
 
         fn, active = _contact_force(model, table, q, v, minv_tau, M_L,
                                     fk_res, Jn, vel_n, dist)
@@ -178,7 +179,7 @@ def plant_step(model: PandaModel, table: TableParams, state: PlantState,
         Mi = M + h * jnp.diag(D)
         rhs = (jnp.einsum("...ij,...j->...i", M, v)
                + h * (tau_eff + tau_con))
-        v_new = jnp.linalg.solve(Mi, rhs[..., None])[..., 0]
+        v_new = spd_solve(Mi, rhs)
         q_new = q + h * v_new
         return (q_new, v_new), (fn, active, tau_con)
 

@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core.smallchol import spd_solve
+
 
 class BoxQPResult(NamedTuple):
     x: jnp.ndarray       # (n,) solution
@@ -33,9 +35,10 @@ def _masked_solve(Q, rhs, free, reg):
     fm = free.astype(Q.dtype)
     mask2 = fm[:, None] * fm[None, :]
     Qm = Q * mask2 + jnp.diag(1.0 - fm) + reg * jnp.eye(n, dtype=Q.dtype)
+    # Qm is SPD (PSD Q on the free block, identity on the clamped block)
     if rhs.ndim == 1:
-        return jnp.linalg.solve(Qm, rhs * fm)
-    return jnp.linalg.solve(Qm, rhs * fm[:, None])
+        return spd_solve(Qm, rhs * fm)
+    return spd_solve(Qm, rhs * fm[:, None])
 
 
 def boxqp(Q, q, lb, ub, x0, *, iters: int = 8, reg: float = 1e-9) -> BoxQPResult:

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ocp.action import KnotModel
+from ..core.smallchol import chol_factor, chol_solve
 from .boxqp import boxqp, _masked_solve
 
 
@@ -145,9 +146,9 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                                   sol.free, 1e-12)
                 bad = jnp.any(~jnp.isfinite(kff)) | jnp.any(~jnp.isfinite(K))
             else:
-                L = jnp.linalg.cholesky(Quu)
-                kff = jax.scipy.linalg.cho_solve((L, True), Qu)
-                K = jax.scipy.linalg.cho_solve((L, True), Qxu.T)
+                L = chol_factor(Quu)
+                kff = chol_solve(L, Qu)
+                K = chol_solve(L, Qxu.T)
                 bad = jnp.any(~jnp.isfinite(L))
 
             Quuk = Quu @ kff
