@@ -1,0 +1,141 @@
+"""Batched on-device MPC ensembles: N perturbed closed-loop episodes in one
+compiled program, sharded over the device mesh.
+
+The BASELINE "512-way batched perturbed-rollout MPC ensemble on one host"
+configuration: perturbed initial states (and optionally the
+actuation-uncertainty protocol) roll out in parallel on the JAX device
+plant, with per-episode metrics reduced on device.
+
+Usage:
+    python -m ffmpc_tpu.run.ensemble --batch 512 --ticks 400 \
+        --controller force_feedback --scenario flat
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
+                 batch: int = 512, ticks: int = 400, horizon: int = 40,
+                 max_iters: int = 10, seed: int = 0, perturb_q: float = 0.01,
+                 n_devices: int | None = None, dtype_name: str = "float32",
+                 checkpoint_path: str | None = None, verbose: bool = True):
+    import jax
+    import jax.numpy as jnp
+    from ..core import make_panda_model, KEYFRAMES
+    from ..ocp.weights import OCPWeights
+    from ..solver.fddp import FDDPSettings
+    from ..sim.device_plant import make_table_params
+    from ..tasks.trajectories import ApproachCircleTraj
+    from ..parallel.mesh import make_dp_mesh, shard_batch
+    from ..run.batch_runner import (make_episode_fn, EpisodeConfig,
+                                    DeviceUncertainty)
+    from ..run.scenarios import scenario_settings, scenario_seed
+    from ..utils.checkpoint import save_checkpoint
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
+    settings_sc = scenario_settings(scenario)
+
+    model = make_panda_model("plant", dtype=dtype)
+    alpha_ocp = float(np.exp(-2 * np.pi * 25.0 * 0.01))
+    W = OCPWeights(
+        dt_ocp=0.01, w_ee_pos=1.2e3, w_ee_ori=4.5e1,
+        w_q_soft_limits=8.0, w_tau_soft_limits=1.5,
+        w_plane_z=9.0e2, w_vz=3.0e2, w_tangent_pos=3.6e3, w_tangent_vel=1.2e3,
+        contact_gains=(145.0, 85.0), fn_des=22.0, w_fn=3.0e1,
+        w_unilateral=3.0e1, w_friction_cone=0.0, z_press=0.0065,
+        ff_alpha=alpha_ocp, w_w=6.0e-4, w_w_soft_limits=2.0, w_y=8.0e-4,
+    )
+    z_contact = 0.342
+    traj = ApproachCircleTraj(
+        center=(-0.5, 0.0, z_contact), radius=0.10, omega=1.5,
+        z_contact=z_contact, t_approach=0.55, z_pre=z_contact + 0.05,
+        t_pre=0.25, ee_start=(-0.3, 0.0, 0.633), t_stabilize=0.2)
+    table = make_table_params(settings_sc.tilt_deg, dtype=dtype)
+    solver = FDDPSettings(max_iters=max_iters, use_box=True)
+    ep = EpisodeConfig(
+        controller=controller, horizon=horizon, n_ticks=ticks,
+        ff_alpha_ocp=alpha_ocp,
+        ff_alpha_ctrl=float(np.exp(-2 * np.pi * 25.0 * 0.005)))
+
+    unc = None
+    if scenario == "actuation_uncertainty":
+        rng = np.random.default_rng(scenario_seed(scenario))
+        unc = DeviceUncertainty(
+            a=float(rng.uniform(0.95, 1.05)), b=float(rng.uniform(-0.1, 0.1)),
+            sigma_q=5e-4, sigma_dq=2e-3, sigma_tau=5e-2,
+            seed=scenario_seed(scenario))
+    torque_scale = None
+    if np.any(settings_sc.torque_scale != 1.0) and unc is None:
+        torque_scale = settings_sc.torque_scale
+
+    q0 = np.asarray(KEYFRAMES["neutral"])
+    episode = make_episode_fn(model, W, solver, traj, table, ep, q0,
+                              torque_scale=torque_scale, uncertainty=unc,
+                              dtype=dtype)
+
+    devices = jax.devices()
+    if n_devices and len(devices) < n_devices:
+        devices = jax.devices("cpu")
+    mesh = make_dp_mesh(n_devices, devices=devices)
+    bs = shard_batch(mesh)
+    run = jax.jit(jax.vmap(episode), in_shardings=bs, out_shardings=bs)
+
+    rng = np.random.default_rng(seed)
+    q0s = (q0[None] + perturb_q * rng.normal(size=(batch, 7))).astype(
+        np.float32 if dtype_name == "float32" else np.float64)
+    q0s_dev = jax.device_put(jnp.asarray(q0s), bs)
+
+    t0 = time.perf_counter()
+    telem = run(q0s_dev)
+    jax.block_until_ready(telem)
+    wall = time.perf_counter() - t0
+
+    err = np.asarray(telem["err_tan"])      # (B, ticks)
+    fn = np.asarray(telem["fn_meas"])
+    out = {
+        "controller": controller, "scenario": scenario,
+        "batch": batch, "ticks": ticks,
+        "wall_s": round(wall, 2),
+        "episodes_per_s": round(batch / wall, 2),
+        "solves_per_s": round(batch * ticks / wall, 1),
+        "rms_tan_mean": float(np.sqrt((err ** 2).mean())),
+        "rms_tan_p95": float(np.quantile(np.sqrt((err ** 2).mean(axis=1)), 0.95)),
+        "fn_final_mean": float(fn[:, -1].mean()),
+        "mesh": str(dict(mesh.shape)),
+    }
+    if checkpoint_path:
+        save_checkpoint(checkpoint_path, telem, meta=out)
+    if verbose:
+        print(json.dumps(out))
+    return out, telem
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--controller", choices=("classical", "force_feedback"),
+                    default="force_feedback")
+    ap.add_argument("--scenario", default="flat")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--ticks", type=int, default=400)
+    ap.add_argument("--horizon", type=int, default=40)
+    ap.add_argument("--max-iters", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--perturb-q", type=float, default=0.01)
+    ap.add_argument("--n-devices", type=int, default=None)
+    ap.add_argument("--dtype", choices=("float32", "float64"), default="float32")
+    ap.add_argument("--checkpoint", default=None)
+    a = ap.parse_args(argv)
+    run_ensemble(controller=a.controller, scenario=a.scenario, batch=a.batch,
+                 ticks=a.ticks, horizon=a.horizon, max_iters=a.max_iters,
+                 seed=a.seed, perturb_q=a.perturb_q, n_devices=a.n_devices,
+                 dtype_name=a.dtype, checkpoint_path=a.checkpoint)
+
+
+if __name__ == "__main__":
+    main()
