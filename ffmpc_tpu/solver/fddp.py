@@ -60,6 +60,10 @@ class FDDPSettings:
     # unroll factor for the sequential knot sweeps (1 = plain scan; measured
     # faster than unrolling on the current backend)
     scan_unroll: int = 1
+    # "sequential" (crocoddyl-style lax.scan sweep) or "parallel"
+    # (associative-scan Riccati, O(log N) depth; no-box path only — BoxFDDP's
+    # per-knot clamped QP is inherently sequential)
+    riccati_mode: str = "sequential"
 
 
 class FDDPResult(NamedTuple):
@@ -171,6 +175,32 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         Vxx_all = jnp.concatenate([Vxx_run, VxxT[None]], axis=0)  # (N+1, nx, nx)
         return K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), Vxx_all
 
+    def backward_parallel(derivs, LxT, LxxT, fs, us, xreg, ureg, feasible):
+        """O(log N)-depth backward via the associative-scan Riccati
+        (solver/riccati_scan.py); exact for the unconstrained subproblem.
+        Selected by settings.riccati_mode="parallel" (no-box only)."""
+        from .riccati_scan import parallel_riccati
+        gapw = jnp.where(feasible, 0.0, 1.0)
+        fs_next = gapw * fs[1:]
+        K, kff, Vx, Vxx = parallel_riccati(
+            derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
+            derivs.Lxu, derivs.Luu, fs_next, LxT, LxxT, ureg=ureg)
+        # deflected value gradients (sequential-path convention)
+        Vx_d = Vx + gapw * jnp.einsum("tij,tj->ti", Vxx, fs)
+        # Qu per knot from the deflected V'
+        Vp = Vx[1:] + jnp.einsum("tij,tj->ti", Vxx[1:], fs_next)
+        Qu = derivs.Lu + jnp.einsum("tiu,ti->tu", derivs.Fu, Vp)
+        Quu = derivs.Luu + ureg * jnp.eye(nu, dtype=dtype)[None] + jnp.einsum(
+            "tiu,tij,tjv->tuv", derivs.Fu, Vxx[1:], derivs.Fu)
+        Quuk = jnp.einsum("tuv,tv->tu", Quu, kff)
+        dg = jnp.sum(jnp.einsum("tu,tu->t", Qu, kff)) - jnp.sum(
+            gapw * jnp.einsum("ti,ti->t", Vx_d, fs))
+        dq = -jnp.sum(jnp.einsum("tu,tu->t", kff, Quuk)) + jnp.sum(
+            gapw * jnp.einsum("ti,tij,tj->t", fs, Vxx, fs))
+        stop = jnp.sum(Qu * Qu)
+        bad = jnp.any(~jnp.isfinite(K)) | jnp.any(~jnp.isfinite(kff))
+        return K, kff, stop, dg, dq, bad, Vxx
+
     # ---------------- forward pass (feasibility-prone rollout) ----------------
     def forward(xs, us, K, kff, fs, alpha, feasible):
         gap_scale = jnp.where(feasible, 0.0, alpha - 1.0)
@@ -203,9 +233,13 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         feasible = c.feasible | (gap_norm < 1e-9)
 
         # backward pass with regularization retry on indefinite Quu
+        bw_fn = (backward_parallel
+                 if (S.riccati_mode == "parallel" and not S.use_box)
+                 else backward_store)
+
         def bw(reg_pair):
             xreg, ureg = reg_pair
-            return backward_store(derivs, LxT, LxxT, fs, c.us, xreg, ureg, feasible)
+            return bw_fn(derivs, LxT, LxxT, fs, c.us, xreg, ureg, feasible)
 
         def bw_cond(st):
             (_, _, _, _, _, bad, _), (xreg, _) = st
