@@ -91,6 +91,8 @@ def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
         np.float32 if dtype_name == "float32" else np.float64)
     q0s_dev = jax.device_put(jnp.asarray(q0s), bs)
 
+    telem = run(q0s_dev)            # compile + warm
+    jax.block_until_ready(telem)
     t0 = time.perf_counter()
     telem = run(q0s_dev)
     jax.block_until_ready(telem)
