@@ -41,6 +41,9 @@ def add_common_args(parser: argparse.ArgumentParser, default_results: Path):
                         help="Controller-internal rigid-body model: 'plant' "
                              "matches the simulated robot; 'parity' mirrors "
                              "the reference's armature/damping-free model.")
+    parser.add_argument("--device", choices=("cpu", "default"), default="cpu",
+                        help="Backend for the per-tick solves: 'cpu' (host "
+                             "loop default) or 'default' (jax default device).")
     parser.set_defaults(benchmark_mode=True)
 
 
@@ -59,6 +62,7 @@ def sweep_or_single(controller: str, args: argparse.Namespace):
         phase_source=args.phase_source,
         benchmark_mode=args.benchmark_mode,
         model_variant=args.model_variant,
+        device=args.device,
     )
     if hasattr(args, "ff_tau_state_source"):
         kw["ff_tau_state_source"] = args.ff_tau_state_source

@@ -151,9 +151,19 @@ def run_single(
     progress_every: int = 100,
     z_contact_offset: Optional[float] = None,   # None -> protocol value
     config_patch=None,                          # callable(cfg) -> cfg override
+    device: str = "cpu",                        # "cpu" | "default"
 ) -> dict:
     import jax
     import jax.numpy as jnp
+    if device == "cpu":
+        # The host-loop runner dispatches one small solve per control tick;
+        # on remote-TPU (tunnel) setups that is latency-bound and every
+        # controller variant needs a fresh multi-minute compile.  The CPU
+        # backend with float64 is the right default for this runner; batched
+        # device execution lives in run/ensemble.py and run/batch_runner.py.
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -358,7 +368,8 @@ def run_single(
         **metrics,
     )
     logger.save()
-    if save_plots:
+    # zero-step runs (e.g. --time 0) produce no npz; nothing to plot
+    if save_plots and logger.path_npz.exists():
         save_evaluation_plots(logger.path_npz, logger.run_dir, cfg.fn_des)
 
     say(f"RMS tangential error: {metrics['rms_tan']:.4f} m | "
