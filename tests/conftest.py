@@ -17,7 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpc_jax_cache")
+# NOTE: keep the tests' compile cache separate from the TPU/bench cache
+# (/tmp/ffmpc_jax_cache): mixing host-CPU AOT entries with remote-compiled
+# ones has produced "machine feature mismatch" loads that can segfault.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpc_jax_cache_cputests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
