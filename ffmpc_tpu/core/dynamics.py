@@ -151,6 +151,115 @@ class ContactDynOut(NamedTuple):
     fk_res: FKResult    # kinematics reused by residuals
 
 
+class FreeDynDerivs(NamedTuple):
+    acc: jnp.ndarray     # (7,)
+    da_dx: jnp.ndarray   # (7, 14) d(acc)/d(q,v)
+    da_du: jnp.ndarray   # (7, 7)  d(acc)/d(tau) = M^{-1}
+    fk_res: FKResult
+
+
+class ContactDynDerivs(NamedTuple):
+    acc: jnp.ndarray     # (7,)
+    force: jnp.ndarray   # (nc,)
+    da_dx: jnp.ndarray   # (7, 14)
+    df_dx: jnp.ndarray   # (nc, 14)
+    da_du: jnp.ndarray   # (7, 7)
+    df_du: jnp.ndarray   # (nc, 7)
+    fk_res: FKResult
+
+
+def free_dynamics_derivs(model: PandaModel, q, v, tau) -> FreeDynDerivs:
+    """Free forward dynamics + analytic first derivatives (unbatched; vmap over
+    leading dims at the call site).
+
+    Uses the inverse-dynamics trick (Carpentier & Mansard, RSS 2018): with
+    a* = M^{-1}(tau - b) fixed, RNEA(q, v, a*) = M(q) a* + b(q, v), so
+
+        d(acc)/d(q,v) = -M^{-1} * d RNEA(q, v, a*)/d(q,v),   d(acc)/dtau = M^{-1}.
+
+    Only one RNEA is differentiated (14 tangents) instead of pushing tangents
+    through the whole mass-matrix (7x RNEA) + Cholesky + solve chain; measured
+    ~3x faster knot-diff on TPU vs jacfwd through fwd_dynamics_free.
+    """
+    fk_res = fk(model, q)
+    M = mass_matrix(model, q)
+    b = bias_forces(model, q, v)
+    L = chol_factor(M)
+    acc = chol_solve(L, tau - b)
+
+    def id_res(qv):
+        # acc enters via closure: constant w.r.t. the differentiation variable
+        return rnea(model, qv[:7], qv[7:], acc)
+
+    G1 = jax.jacfwd(id_res)(jnp.concatenate([q, v]))        # (7, 14)
+    da_dx = -chol_solve(L, G1)
+    da_du = chol_solve(L, jnp.eye(7, dtype=q.dtype))
+    return FreeDynDerivs(acc=acc, da_dx=da_dx, da_du=da_du, fk_res=fk_res)
+
+
+def contact_dynamics_derivs(model: PandaModel, q, v, tau, *,
+                            ref_pos, nc1: bool = True,
+                            baumgarte_kp: float = 0.0, baumgarte_kd: float = 0.0,
+                            damping_c: float = 1.0e-8) -> ContactDynDerivs:
+    """Damped-KKT contact dynamics + analytic first derivatives (unbatched).
+
+    The solution (a, f) of the damped KKT system satisfies
+
+        g1(q, v, tau; a, f) = RNEA(q, v, a) - Jc(q)^T f - tau           = 0
+        h2(q, v;     a, f) = Jc(q) a + gamma(q, v) + kp*gap + kd*Jc v + c f = 0
+
+    Implicit function theorem: [M, -Jc^T; Jc, cI] [da; df] = -[dg1; dh2]
+    with dg1/dh2 evaluated at FIXED (a, f) — a single RNEA + contact-row
+    sweep under 14 forward tangents, then re-solves against the already
+    factored M and Schur complement S = Jc M^{-1} Jc^T + cI.  Exact for the
+    damped system (matches jacfwd of fwd_dynamics_contact to roundoff).
+    """
+    dtype = q.dtype
+    fk_res = fk(model, q)
+    Jc, gamma = _contact_rows(model, q, v, nc1, fk_res)
+    nc = Jc.shape[-2]
+
+    M = mass_matrix(model, q)
+    b = bias_forces(model, q, v)
+    L = chol_factor(M)
+
+    vel_c = Jc @ v
+    if nc1:
+        gap = fk_res.ee_p[2:3] - jnp.reshape(jnp.asarray(ref_pos, dtype), (1,))
+    else:
+        gap = fk_res.ee_p - jnp.asarray(ref_pos, dtype)
+    a_des = -gamma - baumgarte_kp * gap - baumgarte_kd * vel_c
+
+    Minv_tau = chol_solve(L, tau - b)
+    Minv_Jt = chol_solve(L, jnp.swapaxes(Jc, -1, -2))        # (7, nc)
+    S = Jc @ Minv_Jt + damping_c * jnp.eye(nc, dtype=dtype)
+    LS = chol_factor(S)
+    f = chol_solve(LS, a_des - Jc @ Minv_tau)                # (nc,)
+    acc = Minv_tau + Minv_Jt @ f
+
+    def kkt_res(qv):
+        qq, vv = qv[:7], qv[7:]
+        fk2 = fk(model, qq)
+        Jc2, gamma2 = _contact_rows(model, qq, vv, nc1, fk2)
+        g1 = rnea(model, qq, vv, acc) - jnp.swapaxes(Jc2, -1, -2) @ f
+        if nc1:
+            gap2 = fk2.ee_p[2:3] - jnp.reshape(jnp.asarray(ref_pos, dtype), (1,))
+        else:
+            gap2 = fk2.ee_p - jnp.asarray(ref_pos, dtype)
+        h2 = (Jc2 @ acc + gamma2 + baumgarte_kp * gap2
+              + baumgarte_kd * (Jc2 @ vv))
+        return g1, h2
+
+    G1, H2 = jax.jacfwd(kkt_res)(jnp.concatenate([q, v]))    # (7,14), (nc,14)
+    df_dx = chol_solve(LS, Jc @ chol_solve(L, G1) - H2)
+    da_dx = chol_solve(L, -G1 + jnp.swapaxes(Jc, -1, -2) @ df_dx)
+
+    df_du = -chol_solve(LS, jnp.swapaxes(Minv_Jt, -1, -2))   # -S^{-1} Jc M^{-1}
+    da_du = chol_solve(L, jnp.eye(7, dtype=dtype)) + Minv_Jt @ df_du
+    return ContactDynDerivs(acc=acc, force=f, da_dx=da_dx, df_dx=df_dx,
+                            da_du=da_du, df_du=df_du, fk_res=fk_res)
+
+
 def _contact_rows(model: PandaModel, q, v, nc1: bool, fk_res: FKResult):
     """Contact Jacobian rows and their drift (Jdot*v) at the ee frame.
 

