@@ -16,8 +16,9 @@ via Schur complement with ``JMinvJt_damping`` c (crocoddyl_classical.py:725).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -132,13 +133,44 @@ def mass_matrix(model: PandaModel, q):
     return cols + jnp.diag(model.armature)
 
 
-def fwd_dynamics_free(model: PandaModel, q, v, tau):
+def mass_matrix_fk(model: PandaModel, q, fk_res: FKResult | None = None):
+    """Joint-space inertia via the world-frame Jacobian formulation,
+    reusing FK:  M = sum_i [ m_i Jv_i^T Jv_i + Jw_i^T (R_i I_i R_i^T) Jw_i ]
+    + diag(armature).
+
+    Equivalent to ``mass_matrix`` (7x RNEA columns) but with no sequential
+    recursion at all — every term is a masked batched cross product /
+    small matmul over the already-computed FK, which XLA fuses into the
+    surrounding knot chain.  Used on the hot paths (knot calc/diff) where
+    fk_res is already available.
+    """
+    f = fk_res if fk_res is not None else fk(model, q)
+    dtype = q.dtype
+    batch = q.shape[:-1]
+
+    c_w = f.p + jnp.einsum("...iab,ib->...ia", f.R, model.com)   # (...,7,3)
+    I_w = jnp.einsum("...iab,ibc,...idc->...iad", f.R, model.inertia, f.R)
+
+    # Jv[i, j] = axis_j x (com_i - p_j) for j <= i; Jw[i, j] = axis_j
+    r = c_w[..., :, None, :] - f.p[..., None, :, :]              # (...,7i,7j,3)
+    axis = jnp.broadcast_to(f.axis_w[..., None, :, :], batch + (7, 7, 3))
+    mask = jnp.asarray(np.tril(np.ones((7, 7))), dtype)[..., None]
+    Jv = jnp.cross(axis, r) * mask
+    Jw = axis * mask
+
+    m = jnp.asarray(model.mass, dtype)
+    M = (jnp.einsum("i,...ija,...ika->...jk", m, Jv, Jv)
+         + jnp.einsum("...ija,...iab,...ikb->...jk", Jw, I_w, Jw))
+    return M + jnp.diag(model.armature.astype(dtype))
+
+
+def fwd_dynamics_free(model: PandaModel, q, v, tau, fk_res: FKResult | None = None):
     """Free-space forward dynamics a = M^{-1}(tau - b).  (..., 7) each.
 
     Equivalent of Crocoddyl's DifferentialActionModelFreeFwdDynamics
     (crocoddyl_classical.py:619).
     """
-    M = mass_matrix(model, q)
+    M = mass_matrix_fk(model, q, fk_res)
     b = bias_forces(model, q, v)
     # unrolled small-matrix solve: fuses into the surrounding chain (no
     # cholesky/triangular-solve library-call dispatch barriers)
@@ -166,6 +198,7 @@ class ContactDynDerivs(NamedTuple):
     da_du: jnp.ndarray   # (7, 7)
     df_du: jnp.ndarray   # (nc, 7)
     fk_res: FKResult
+    extras_jac: Any      # d(extra_q_fn)/dq pytree, or None
 
 
 def free_dynamics_derivs(model: PandaModel, q, v, tau) -> FreeDynDerivs:
@@ -177,22 +210,21 @@ def free_dynamics_derivs(model: PandaModel, q, v, tau) -> FreeDynDerivs:
 
         d(acc)/d(q,v) = -M^{-1} * d RNEA(q, v, a*)/d(q,v),   d(acc)/dtau = M^{-1}.
 
-    Only one RNEA is differentiated (14 tangents) instead of pushing tangents
-    through the whole mass-matrix (7x RNEA) + Cholesky + solve chain; measured
-    ~3x faster knot-diff on TPU vs jacfwd through fwd_dynamics_free.
+    Only one RNEA is differentiated instead of pushing tangents through the
+    whole mass-matrix (7x RNEA) + Cholesky + solve chain, and the q- and
+    v-sweeps are separate so the v-sweep sees all joint rotations as
+    constants (XLA DCEs the rotation-tangent chain entirely).
     """
     fk_res = fk(model, q)
-    M = mass_matrix(model, q)
+    M = mass_matrix_fk(model, q, fk_res)
     b = bias_forces(model, q, v)
     L = chol_factor(M)
     acc = chol_solve(L, tau - b)
 
-    def id_res(qv):
-        # acc enters via closure: constant w.r.t. the differentiation variable
-        return rnea(model, qv[:7], qv[7:], acc)
-
-    G1 = jax.jacfwd(id_res)(jnp.concatenate([q, v]))        # (7, 14)
-    da_dx = -chol_solve(L, G1)
+    # acc enters via closure: constant w.r.t. the differentiation variable
+    G1q = jax.jacfwd(lambda qq: rnea(model, qq, v, acc))(q)
+    G1v = jax.jacfwd(lambda vv: rnea(model, q, vv, acc))(v)
+    da_dx = -chol_solve(L, jnp.concatenate([G1q, G1v], axis=1))
     da_du = chol_solve(L, jnp.eye(7, dtype=q.dtype))
     return FreeDynDerivs(acc=acc, da_dx=da_dx, da_du=da_du, fk_res=fk_res)
 
@@ -200,7 +232,8 @@ def free_dynamics_derivs(model: PandaModel, q, v, tau) -> FreeDynDerivs:
 def contact_dynamics_derivs(model: PandaModel, q, v, tau, *,
                             ref_pos, nc1: bool = True,
                             baumgarte_kp: float = 0.0, baumgarte_kd: float = 0.0,
-                            damping_c: float = 1.0e-8) -> ContactDynDerivs:
+                            damping_c: float = 1.0e-8,
+                            extra_q_fn=None) -> ContactDynDerivs:
     """Damped-KKT contact dynamics + analytic first derivatives (unbatched).
 
     The solution (a, f) of the damped KKT system satisfies
@@ -209,17 +242,26 @@ def contact_dynamics_derivs(model: PandaModel, q, v, tau, *,
         h2(q, v;     a, f) = Jc(q) a + gamma(q, v) + kp*gap + kd*Jc v + c f = 0
 
     Implicit function theorem: [M, -Jc^T; Jc, cI] [da; df] = -[dg1; dh2]
-    with dg1/dh2 evaluated at FIXED (a, f) — a single RNEA + contact-row
-    sweep under 14 forward tangents, then re-solves against the already
-    factored M and Schur complement S = Jc M^{-1} Jc^T + cI.  Exact for the
-    damped system (matches jacfwd of fwd_dynamics_contact to roundoff).
+    with dg1/dh2 evaluated at FIXED (a, f) — one RNEA + contact-row sweep
+    under forward tangents, then re-solves against the already factored M
+    and Schur complement S = Jc M^{-1} Jc^T + cI.  Exact for the damped
+    system (matches jacfwd of fwd_dynamics_contact to roundoff).
+
+    The q- and v-sweeps are separate: the v-sweep sees FK/Jacobian as
+    constants, so XLA DCEs their tangent chains (same effect as the
+    measured-faster separate x/u sweeps in the jacfwd path).
+
+    ``extra_q_fn(qq, fk2) -> pytree``: optional extra q-dependent outputs
+    (e.g. cost-residual kinematics) evaluated inside the q-sweep so their
+    Jacobians share the FK tangent computation; d/dq comes back in
+    ``extras_jac``.
     """
     dtype = q.dtype
     fk_res = fk(model, q)
     Jc, gamma = _contact_rows(model, q, v, nc1, fk_res)
     nc = Jc.shape[-2]
 
-    M = mass_matrix(model, q)
+    M = mass_matrix_fk(model, q, fk_res)
     b = bias_forces(model, q, v)
     L = chol_factor(M)
 
@@ -237,27 +279,58 @@ def contact_dynamics_derivs(model: PandaModel, q, v, tau, *,
     f = chol_solve(LS, a_des - Jc @ Minv_tau)                # (nc,)
     acc = Minv_tau + Minv_Jt @ f
 
-    def kkt_res(qv):
-        qq, vv = qv[:7], qv[7:]
+    def kkt_q(qq):
         fk2 = fk(model, qq)
-        Jc2, gamma2 = _contact_rows(model, qq, vv, nc1, fk2)
-        g1 = rnea(model, qq, vv, acc) - jnp.swapaxes(Jc2, -1, -2) @ f
+        Jc2, gamma2 = _contact_rows(model, qq, v, nc1, fk2)
+        g1 = rnea(model, qq, v, acc) - jnp.swapaxes(Jc2, -1, -2) @ f
         if nc1:
             gap2 = fk2.ee_p[2:3] - jnp.reshape(jnp.asarray(ref_pos, dtype), (1,))
         else:
             gap2 = fk2.ee_p - jnp.asarray(ref_pos, dtype)
         h2 = (Jc2 @ acc + gamma2 + baumgarte_kp * gap2
-              + baumgarte_kd * (Jc2 @ vv))
-        return g1, h2
+              + baumgarte_kd * (Jc2 @ v))
+        extras = extra_q_fn(qq, fk2) if extra_q_fn is not None else 0.0
+        return g1, h2, extras
 
-    G1, H2 = jax.jacfwd(kkt_res)(jnp.concatenate([q, v]))    # (7,14), (nc,14)
+    G1q, H2q, extras_jac = jax.jacfwd(kkt_q)(q)
+    G1v, H2v = _kkt_v_jac(model, q, v, acc, Jc, nc1, baumgarte_kd)
+    G1 = jnp.concatenate([G1q, G1v], axis=1)                 # (7, 14)
+    H2 = jnp.concatenate([H2q, H2v], axis=1)                 # (nc, 14)
+    if extra_q_fn is None:
+        extras_jac = None
+
     df_dx = chol_solve(LS, Jc @ chol_solve(L, G1) - H2)
     da_dx = chol_solve(L, -G1 + jnp.swapaxes(Jc, -1, -2) @ df_dx)
 
     df_du = -chol_solve(LS, jnp.swapaxes(Minv_Jt, -1, -2))   # -S^{-1} Jc M^{-1}
     da_du = chol_solve(L, jnp.eye(7, dtype=dtype)) + Minv_Jt @ df_du
     return ContactDynDerivs(acc=acc, force=f, da_dx=da_dx, df_dx=df_dx,
-                            da_du=da_du, df_du=df_du, fk_res=fk_res)
+                            da_du=da_du, df_du=df_du, fk_res=fk_res,
+                            extras_jac=extras_jac)
+
+
+def _kkt_v_jac(model: PandaModel, q, v, acc, Jc, nc1: bool, kd: float):
+    """d(g1, h2)/dv at fixed (q, acc, f): RNEA velocity terms + drift.
+
+    gamma(q, vv) = (dJ/dq . vv) vv is bilinear in vv; its v-Jacobian flows
+    through both slots of the defining jvp.  FK primals are constants here.
+    """
+
+    def g1_of(vv):
+        return rnea(model, q, vv, acc)
+
+    def h2_of(vv):
+        def linvel(qq):
+            Jp2, _ = ee_jacobian(model, qq, fk_res=fk(model, qq))
+            Jc2 = Jp2[2:3, :] if nc1 else Jp2
+            return Jc2 @ vv
+
+        _, gamma2 = jax.jvp(linvel, (q,), (vv,))
+        return gamma2 + kd * (Jc @ vv)
+
+    G1v = jax.jacfwd(g1_of)(v)
+    H2v = jax.jacfwd(h2_of)(v)
+    return G1v, H2v
 
 
 def _contact_rows(model: PandaModel, q, v, nc1: bool, fk_res: FKResult):
@@ -304,7 +377,7 @@ def fwd_dynamics_contact(model: PandaModel, q, v, tau, *,
     Jc, gamma = _contact_rows(model, q, v, nc1, fk_res)
     nc = Jc.shape[-2]
 
-    M = mass_matrix(model, q)
+    M = mass_matrix_fk(model, q, fk_res)
     b = bias_forces(model, q, v)
     L = chol_factor(M)
 

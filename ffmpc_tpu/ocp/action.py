@@ -231,7 +231,7 @@ def _classical_raw(model: PandaModel, W: OCPWeights, surface: bool, nc: int,
         acc, force, fk_res = dyn.acc, dyn.force, dyn.fk_res
     else:
         fk_res = fk(model, q)
-        acc = fwd_dynamics_free(model, q, v, u)
+        acc = fwd_dynamics_free(model, q, v, u, fk_res=fk_res)
         force = None
 
     v_next = v + dt * acc
@@ -306,18 +306,28 @@ def _classical_analytic(model: PandaModel, W: OCPWeights, surface: bool,
     dt = float(W.dt_ocp)
     q, v = x[:7], x[7:]
 
+    def kin_of(qq, fk2):
+        """Cost-residual kinematics (q-dependent parts): shared with the
+        dynamics q-sweep so FK tangents are computed once."""
+        Jp2, Jr2 = ee_jacobian(model, qq, fk_res=fk2)
+        ori = log3(jnp.swapaxes(ref.R_des, -1, -2) @ fk2.ee_R)
+        vel62 = jnp.concatenate([Jp2 @ v, Jr2 @ v])
+        return ori, vel62
+
     if surface:
         dd = contact_dynamics_derivs(
             model, q, v, u, ref_pos=_contact_ref_pos(W, nc, ref), nc1=(nc == 1),
             baumgarte_kp=W.contact_gains[0], baumgarte_kd=W.contact_gains[1],
-            damping_c=W.contact_inv_damping)
+            damping_c=W.contact_inv_damping, extra_q_fn=kin_of)
         acc, force, fk_res = dd.acc, dd.force, dd.fk_res
         da_dx, da_du, df_dx, df_du = dd.da_dx, dd.da_du, dd.df_dx, dd.df_du
+        dori_dq, dvel6_dq = dd.extras_jac
     else:
         fd = free_dynamics_derivs(model, q, v, u)
         acc, fk_res = fd.acc, fd.fk_res
         da_dx, da_du = fd.da_dx, fd.da_du
         force = df_dx = df_du = None
+        dori_dq, dvel6_dq = jax.jacfwd(lambda qq: kin_of(qq, fk(model, qq)))(q)
 
     v_next = v + dt * acc
     q_next = q + dt * v_next
@@ -334,15 +344,6 @@ def _classical_analytic(model: PandaModel, W: OCPWeights, surface: bool,
 
     Jp, Jr = ee_jacobian(model, q, fk_res=fk_res)
     vel6 = jnp.concatenate([Jp @ v, Jr @ v])
-
-    def kin(qq):
-        fk2 = fk(model, qq)
-        Jp2, Jr2 = ee_jacobian(model, qq, fk_res=fk2)
-        ori = log3(jnp.swapaxes(ref.R_des, -1, -2) @ fk2.ee_R)
-        vel62 = jnp.concatenate([Jp2 @ v, Jr2 @ v])
-        return ori, vel62
-
-    dori_dq, dvel6_dq = jax.jacfwd(kin)(q)
 
     res = _residual_values(model, W, surface, nc, terminal, ref, x, u,
                            fk_res, vel6, force)

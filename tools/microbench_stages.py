@@ -64,9 +64,64 @@ def main(B=256):
 
     t_calc = timeit(calc2, refs_bn, ys, ws)
     t_diff = timeit(diff2, refs_bn, ys, ws)
+
+    # rollout-shaped: sequential scan over N at line-search width B*n_alphas
+    n_alphas = 10
+    Bw = B * n_alphas
+    y0w = jnp.broadcast_to(ys[:1, 0], (Bw, 21))
+    refs_w = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (Bw,) + a.shape), refs_run)
+    ws_w = jnp.broadcast_to(ws[:1], (Bw, N, 7))
+
+    def rollout(y0_, refs_, ws_):
+        def step(y, inp):
+            r, w = inp
+            ynext, cost = knot.calc(r, y, w)
+            return ynext, cost
+        yN, costs = jax.lax.scan(step, y0_, (refs_, ws_))
+        return yN, jnp.sum(costs)
+
+    roll = jax.jit(jax.vmap(rollout))
+    t_roll = timeit(roll, y0w, refs_w, ws_w)
+
+    # backward-shaped: sequential boxqp Riccati sweep at width B
+    from ffmpc_tpu.solver.boxqp import boxqp, _masked_solve
+    d = diff2(refs_bn, ys, ws)
+
+    def backward(dT):
+        def step(carry, inp):
+            Vx, Vxx = carry
+            (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, u_t) = inp
+            Qxx = Lxx + Fx.T @ Vxx @ Fx
+            Qxu = Lxu + Fx.T @ Vxx @ Fu
+            Quu = Luu + Fu.T @ Vxx @ Fu
+            Qx = Lx + Fx.T @ Vx
+            Qu = Lu + Fu.T @ Vx
+            lb = -jnp.asarray(knot.u_lb, Qu.dtype) * 0 - 87.0 - u_t
+            ub = 87.0 - u_t
+            sol = boxqp(Quu, Qu, lb, ub, jnp.zeros(7, Qu.dtype), iters=8)
+            kff = -sol.x
+            K = _masked_solve(Quu, Qxu.T * sol.free.astype(Qu.dtype)[:, None],
+                              sol.free, 1e-12)
+            Vx_n = Qx + K.T @ (Quu @ kff - 2.0 * Qu)
+            Vxx_n = Qxx - Qxu @ K
+            return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T)), (K, kff)
+
+        (VxT, VxxT) = (dT.Lx[-1], dT.Lxx[-1])
+        (_, _), out = jax.lax.scan(
+            step, (VxT, VxxT),
+            (dT.Fx, dT.Fu, dT.Lx, dT.Lu, dT.Lxx, dT.Lxu, dT.Luu,
+             jnp.zeros((N, 7), dT.Lx.dtype)), reverse=True)
+        return out
+
+    bwd = jax.jit(jax.vmap(backward))
+    t_bwd = timeit(bwd, d)
+
     print(f"B={B} N={N}")
-    print(f"knot-calc (B*N): {t_calc:8.2f} ms")
-    print(f"knot-diff (B*N): {t_diff:8.2f} ms")
+    print(f"knot-calc (B*N):          {t_calc:8.2f} ms")
+    print(f"knot-diff (B*N):          {t_diff:8.2f} ms")
+    print(f"rollout scan (B*{n_alphas} wide): {t_roll:8.2f} ms")
+    print(f"backward boxqp sweep (B): {t_bwd:8.2f} ms")
 
 
 if __name__ == "__main__":
