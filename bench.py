@@ -34,7 +34,8 @@ def main():
     from ffmpc_tpu.solver.fddp import FDDPSettings
     settings = FDDPSettings(
         max_iters=10, use_box=True,
-        scan_unroll=int(_os.environ.get("FFMPC_SCAN_UNROLL", "1")))
+        scan_unroll=int(_os.environ.get("FFMPC_SCAN_UNROLL", "1")),
+        linesearch_mode=_os.environ.get("FFMPC_LS_MODE", "batched"))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
                        ff_alpha_ctrl=ep0.ff_alpha_ctrl)

@@ -262,14 +262,19 @@ def _assemble_cost(spec, res, dt_scale: float, terminal: bool, dtype):
 
 def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu: int, dtype):
     """Gauss-Newton assembly.  Jx/Ju: dicts of residual Jacobians; a missing
-    or ``None`` entry means an exactly-zero Jacobian and is skipped (the
-    analytic path omits them; the jacfwd path passes dense zeros)."""
+    or ``None`` entry means an exactly-zero Jacobian (zero block in the
+    stacked Jacobian).
+
+    Per-term rank-k accumulation (a stacked single-J^T diag(h) J variant
+    measured SLOWER on TPU — 420 -> 379 solves/s — the tiny-matrix padding
+    and lost elementwise fusion outweigh the MXU-shaped matmul)."""
     Lx = jnp.zeros(nx, dtype)
     Lxx = jnp.zeros((nx, nx), dtype)
     Lu = jnp.zeros(nu, dtype)
     Luu = jnp.zeros((nu, nu), dtype)
     Lxu = jnp.zeros((nx, nu), dtype)
     cost = jnp.zeros((), dtype)
+    with_u = Ju is not None and not terminal
     for name, term in spec.items():
         if terminal and not term.terminal:
             continue
@@ -278,7 +283,7 @@ def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu
         g = act.grad(term.activation, r)
         h = act.hess_diag(term.activation, r)
         jx = Jx.get(name)
-        ju = Ju.get(name) if (Ju is not None and not terminal) else None
+        ju = Ju.get(name) if with_u else None
         cost = cost + s * act.value(term.activation, r)
         if jx is not None:
             Lx = Lx + s * (jx.T @ g)

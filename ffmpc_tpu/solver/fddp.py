@@ -64,6 +64,11 @@ class FDDPSettings:
     # (associative-scan Riccati, O(log N) depth; no-box path only — BoxFDDP's
     # per-knot clamped QP is inherently sequential)
     riccati_mode: str = "sequential"
+    # "batched": all n_alphas rollouts in one vmapped pass (fixed cost);
+    # "while": descending-alpha while_loop, stops at the first acceptance —
+    # warm-started MPC usually accepts alpha=1, cutting rollout work ~n_alphas
+    # fold; under vmap(solve) the whole batch pays max-trips-over-lanes.
+    linesearch_mode: str = "batched"
 
 
 class FDDPResult(NamedTuple):
@@ -295,13 +300,32 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                       & (cost_try < cost_guard))
             return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg)
 
-        xs_tries, us_tries, cost_tries, ok_flags = jax.vmap(try_alpha)(alphas)
-        accepted = jnp.any(ok_flags)
-        sel = jnp.argmax(ok_flags)        # first True == largest alpha
-        xs_try = xs_tries[sel]
-        us_try = us_tries[sel]
-        cost_try = cost_tries[sel]
-        alpha_f = alphas[sel]
+        if S.linesearch_mode == "while":
+            def ls_cond(st):
+                idx, ok = st[0], st[1]
+                return (~ok) & (idx < S.n_alphas)
+
+            def ls_body(st):
+                idx, _, xs_a, us_a, cost_a, alpha_a = st
+                alpha = alphas[idx]
+                xs_t, us_t, cost_t, ok = try_alpha(alpha)
+                return (idx + 1, ok,
+                        jnp.where(ok, xs_t, xs_a), jnp.where(ok, us_t, us_a),
+                        jnp.where(ok, cost_t, cost_a),
+                        jnp.where(ok, alpha, alpha_a))
+
+            st0 = (jnp.int32(0), jnp.asarray(False),
+                   c.xs, c.us, cost_cur, alphas[-1])
+            _, accepted, xs_try, us_try, cost_try, alpha_f = jax.lax.while_loop(
+                ls_cond, ls_body, st0)
+        else:
+            xs_tries, us_tries, cost_tries, ok_flags = jax.vmap(try_alpha)(alphas)
+            accepted = jnp.any(ok_flags)
+            sel = jnp.argmax(ok_flags)        # first True == largest alpha
+            xs_try = xs_tries[sel]
+            us_try = us_tries[sel]
+            cost_try = cost_tries[sel]
+            alpha_f = alphas[sel]
 
         xs_new = jnp.where(accepted, xs_try, c.xs)
         us_new = jnp.where(accepted, us_try, c.us)
