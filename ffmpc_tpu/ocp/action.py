@@ -263,7 +263,10 @@ def _assemble_cost(spec, res, dt_scale: float, terminal: bool, dtype):
 def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu: int, dtype):
     """Gauss-Newton assembly.  Jx/Ju: dicts of residual Jacobians; a missing
     or ``None`` entry means an exactly-zero Jacobian (zero block in the
-    stacked Jacobian).
+    stacked Jacobian); the sentinel ``("eye", offset)`` means rows
+    e_offset..e_{offset+nr-1} (pure-regularization residuals), assembled as
+    slice updates instead of dense J^T diag(h) J products — the nx=21
+    identity terms otherwise dominate the assembly FLOPs.
 
     Per-term rank-k accumulation (a stacked single-J^T diag(h) J variant
     measured SLOWER on TPU — 420 -> 379 solves/s — the tiny-matrix padding
@@ -275,6 +278,12 @@ def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu
     Lxu = jnp.zeros((nx, nu), dtype)
     cost = jnp.zeros((), dtype)
     with_u = Ju is not None and not terminal
+
+    def is_eye(j):
+        return isinstance(j, tuple) and j[0] == "eye"
+
+    diag_x = jnp.zeros(nx, dtype)
+    diag_u = jnp.zeros(nu, dtype)
     for name, term in spec.items():
         if terminal and not term.terminal:
             continue
@@ -285,14 +294,30 @@ def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu
         jx = Jx.get(name)
         ju = Ju.get(name) if with_u else None
         cost = cost + s * act.value(term.activation, r)
-        if jx is not None:
+        if is_eye(jx):
+            off = jx[1]
+            nr = r.shape[0]
+            Lx = Lx.at[off:off + nr].add(s * g)
+            diag_x = diag_x.at[off:off + nr].add(s * h)
+        elif jx is not None:
             Lx = Lx + s * (jx.T @ g)
             Lxx = Lxx + s * (jx.T @ (h[:, None] * jx))
-        if ju is not None:
+        if is_eye(ju):
+            off = ju[1]
+            nr = r.shape[0]
+            Lu = Lu.at[off:off + nr].add(s * g)
+            diag_u = diag_u.at[off:off + nr].add(s * h)
+            # eye-u terms never co-occur with an x-Jacobian (pure u-regs)
+        elif ju is not None:
             Lu = Lu + s * (ju.T @ g)
             Luu = Luu + s * (ju.T @ (h[:, None] * ju))
-            if jx is not None:
+            if jx is not None and not is_eye(jx):
                 Lxu = Lxu + s * (jx.T @ (h[:, None] * ju))
+            elif is_eye(jx):
+                off = jx[1]
+                Lxu = Lxu.at[off:off + r.shape[0], :].add(s * (h[:, None] * ju))
+    Lxx = Lxx + jnp.diag(diag_x)
+    Luu = Luu + jnp.diag(diag_u)
     return cost, Lx, Lu, Lxx, Lxu, Luu
 
 
@@ -394,7 +419,13 @@ def _classical_analytic(model: PandaModel, W: OCPWeights, surface: bool,
 
 
 def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
-                        deriv_mode: str = "analytic") -> KnotModel:
+                        deriv_mode: str = "analytic",
+                        calc_mode: str = "scalar") -> KnotModel:
+    """calc_mode "scalar" uses the lane-efficient scalar-channel calc
+    (ocp.scalar_knot) for calc/term_calc — numerically equal to the
+    vectorized path to float rounding, ~10x faster on TPU where the
+    rollout's small-trailing-dim ops waste VPU lanes.  "vector" keeps the
+    array formulation (reference implementation / oracle)."""
     spec, nc = _make_spec(model, W, surface)
     nx, nu = 14, 7
     dt = float(W.dt_ocp)
@@ -410,6 +441,10 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
         xnext, res = raw_run(ref, x, u)
         return xnext, _assemble_cost(spec, res, dt, False, x.dtype)
 
+    if calc_mode == "scalar":
+        from .scalar_knot import make_scalar_calc_classical
+        calc, scalar_term_calc = make_scalar_calc_classical(model, W, surface)
+
     if deriv_mode == "analytic":
         def diff(ref, x, u):
             xnext, res, Jx, Ju, Fx, Fu = _classical_analytic(
@@ -418,10 +453,40 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
                 spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
             return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
     else:
+        if deriv_mode == "scalar":
+            # jacfwd through the scalar-channel chain: tangents ride the
+            # lane-efficient layout as an (n_tan, B) leading axis.
+            from .scalar_knot import make_scalar_raw_classical
+            raw_s = make_scalar_raw_classical(model, W, surface)
+            diff_raw = lambda ref, x, u: raw_s(ref, x, u, False)
+        else:
+            diff_raw = raw_run
+
+        # residuals that are pure regularizations: identity Jacobians,
+        # assembled structurally; and the only u-dependent residuals
+        _EYE_X = ("posture", "v_damp", "q_soft_limits")
+        _EYE_U = ("tau_reg", "tau_soft_limits")
+        _DENSE_U = ("unilateral", "fn_track", "friction_cone")
+
+        def _structure(Jx, Ju):
+            for k in _EYE_X:
+                if k in Jx:
+                    Jx[k] = ("eye", 0)
+            for k in _EYE_U:
+                Jx.pop(k, None)
+                if k in Ju:
+                    Ju[k] = ("eye", 0)
+            for k in list(Ju):
+                if k not in _EYE_U and k not in _DENSE_U:
+                    del Ju[k]
+            return Jx, Ju
+
         def diff(ref, x, u):
-            (xnext, res), (jac_x, jac_u) = _value_and_jac(raw_run, ref, x, u)
+            (xnext, res), (jac_x, jac_u) = _value_and_jac(diff_raw, ref, x, u)
             Fx, Jx = jac_x
             Fu, Ju = jac_u
+            if deriv_mode == "scalar":
+                Jx, Ju = _structure(dict(Jx), dict(Ju))
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
             return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
@@ -430,6 +495,9 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
         # crocoddyl IAM Euler terminal overload: cost NOT scaled by dt.
         _, res = raw_term(ref, x)
         return _assemble_cost(spec, res, 1.0, True, x.dtype)
+
+    if calc_mode == "scalar":
+        term_calc = scalar_term_calc
 
     if deriv_mode == "analytic":
         def term_diff(ref, x):
@@ -440,12 +508,18 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
                 spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
             return cost, Lx, Lxx
     else:
-        def term_diff(ref, x):
-            def f(xx):
+        if deriv_mode == "scalar":
+            def term_raw(ref, xx):
+                _, res = raw_s(ref, xx, jnp.zeros(nu, xx.dtype), True)
+                return res
+        else:
+            def term_raw(ref, xx):
                 _, res = raw_term(ref, xx)
                 return res
-            res = f(x)
-            Jx = jax.jacfwd(f)(x)
+
+        def term_diff(ref, x):
+            res = term_raw(ref, x)
+            Jx = jax.jacfwd(lambda xx: term_raw(ref, xx))(x)
             cost, Lx, _, Lxx, _, _ = _assemble_gn(
                 spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
             return cost, Lx, Lxx
@@ -475,7 +549,8 @@ def _value_and_jac(raw, ref, x, u):
 # ---------------------------------------------------------------------------
 
 def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
-                        deriv_mode: str = "analytic") -> KnotModel:
+                        deriv_mode: str = "analytic",
+                        calc_mode: str = "scalar") -> KnotModel:
     """Augmented action model on y=(q,v,tau), control w.
 
     y+ = [EulerKnot(x, tau); alpha*tau + (1-alpha)*w]; costs = inner knot cost
@@ -538,6 +613,10 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
         ynext, res = raw(ref, y, w, False)
         return ynext, _assemble_cost(full_spec, res, dt, False, y.dtype)
 
+    if calc_mode == "scalar":
+        from .scalar_knot import make_scalar_calc_augmented
+        calc, scalar_term_calc = make_scalar_calc_augmented(model, W, surface)
+
     def _aug_analytic(ref, y, w, terminal: bool):
         """Inner classical analytic pieces lifted to y=(x_mb, tau), u=w.
 
@@ -595,10 +674,37 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
                 full_spec, res, Jy, Jw, dt, False, nx, nu, y.dtype)
             return KnotDeriv(ynext, cost, Fy, Fw, Lx, Lu, Lxx, Lxu, Luu)
     else:
+        if deriv_mode == "scalar":
+            from .scalar_knot import make_scalar_raw_augmented
+            raw_d = make_scalar_raw_augmented(model, W, surface)
+        else:
+            raw_d = raw
+
+        def _structure_aug(Jy, Jw):
+            """Identity/zero structure of the augmented residual Jacobians:
+            inner state regs are [I14 | 0], inner tau regs are [0 | I7]
+            (tau is state here), y_reg is I21; w enters ONLY the outer
+            w_reg/w_soft costs (the LPF row is dynamics, not a residual)."""
+            for k in ("posture", "v_damp", "q_soft_limits"):
+                if k in Jy:
+                    Jy[k] = ("eye", 0)
+            for k in ("tau_reg", "tau_soft_limits"):
+                if k in Jy:
+                    Jy[k] = ("eye", 14)
+            if "y_reg" in Jy:
+                Jy["y_reg"] = ("eye", 0)
+            Jw2 = {}
+            for k in ("w_reg", "w_soft"):
+                if k in Jw:
+                    Jw2[k] = ("eye", 0)
+            return Jy, Jw2
+
         def diff(ref, y, w):
-            ynext, res = raw(ref, y, w, False)
-            Fx, Jx_res = jax.jacfwd(lambda yy: raw(ref, yy, w, False))(y)
-            Fu, Ju_res = jax.jacfwd(lambda ww: raw(ref, y, ww, False))(w)
+            ynext, res = raw_d(ref, y, w, False)
+            Fx, Jx_res = jax.jacfwd(lambda yy: raw_d(ref, yy, w, False))(y)
+            Fu, Ju_res = jax.jacfwd(lambda ww: raw_d(ref, y, ww, False))(w)
+            if deriv_mode == "scalar":
+                Jx_res, Ju_res = _structure_aug(dict(Jx_res), dict(Ju_res))
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 full_spec, res, Jx_res, Ju_res, dt, False, nx, nu, y.dtype)
             return KnotDeriv(ynext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
@@ -608,6 +714,9 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
         _, res = raw(ref, y, w0, True)
         # terminal: inner costs unscaled (IAM Euler terminal), outer as-is.
         return _assemble_cost(full_spec, res, dt, True, y.dtype)
+
+    if calc_mode == "scalar":
+        term_calc = scalar_term_calc
 
     if deriv_mode == "analytic":
         def term_diff(ref, y):
@@ -621,7 +730,7 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             w0 = jnp.zeros(nu, y.dtype)
 
             def f(yy):
-                _, res = raw(ref, yy, w0, True)
+                _, res = raw_d(ref, yy, w0, True)
                 return res
             res = f(y)
             Jx = jax.jacfwd(f)(y)

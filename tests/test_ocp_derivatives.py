@@ -81,7 +81,12 @@ def test_classical_contact_3d_knot(setup):
 
 def test_terminal_gradients(setup):
     model, W, ref, x, u = setup
-    knot = make_classical_knot(model, W, surface=True)
+    # calc_mode="vector": the FD probe must evaluate the SAME cost function
+    # the analytic terminal gradient differentiates — the scalar calc path
+    # agrees only to accumulation-order roundoff (~1e-13 rel), which the
+    # 1e-6 central difference amplifies above the tolerance.  Scalar==vector
+    # equality is covered by test_scalar_knot.
+    knot = make_classical_knot(model, W, surface=True, calc_mode="vector")
     cost, Lx, Lxx = knot.term_diff(ref, x)
     assert np.isclose(float(cost), float(knot.term_calc(ref, x)))
     eps = 1e-6

@@ -18,8 +18,9 @@ FIXTURE = Path(__file__).parent / "fixtures" / "solver_golden.npz"
 
 
 @pytest.mark.skipif(not FIXTURE.exists(), reason="fixtures not generated")
+@pytest.mark.parametrize("calc_mode", ["scalar", "vector"])
 @pytest.mark.parametrize("case", ["classical_free", "classical_contact", "ff_contact"])
-def test_solver_matches_golden(case):
+def test_solver_matches_golden(case, calc_mode):
     from ffmpc_tpu.core import make_panda_model, KEYFRAMES, gravity_torque
     from ffmpc_tpu.ocp.weights import OCPWeights
     from ffmpc_tpu.ocp.action import make_classical_knot, make_augmented_knot
@@ -48,7 +49,7 @@ def test_solver_matches_golden(case):
     t0 = 0.3 if case == "classical_free" else 1.2
     is_ff = case == "ff_contact"
     make = make_augmented_knot if is_ff else make_classical_knot
-    knot = make(model, W, surface=surface)
+    knot = make(model, W, surface=surface, calc_mode=calc_mode)
     x0 = (jnp.concatenate([q0, jnp.zeros(7), tau_g]) if is_ff
           else jnp.concatenate([q0, jnp.zeros(7)]))
     N = 12
@@ -60,8 +61,8 @@ def test_solver_matches_golden(case):
     res = solve(knot, refs_run, ref_T, x0, xs0, us0, st)
 
     with np.load(FIXTURE) as z:
-        us_ref = z[f"{case}_us"]
-        cost_ref = float(z[f"{case}_cost"])
+        us_ref = z[f"{case}_{calc_mode}_us"]
+        cost_ref = float(z[f"{case}_{calc_mode}_cost"])
     assert np.allclose(np.asarray(res.us), us_ref, atol=1e-6), \
         np.abs(np.asarray(res.us) - us_ref).max()
     assert np.isclose(float(res.cost), cost_ref, rtol=1e-8)
