@@ -1,0 +1,52 @@
+"""Two-process multi-host mesh: the >=2-hosts leg of the scaling configs.
+
+Launches two CPU-backend worker processes (2 virtual devices each) that form
+one 4-device dp mesh through jax.distributed, run sharded BoxFDDP solves on
+their local batch shards, and all-reduce the global mean cost inside jit.
+Asserts both processes agree on the reduced metric — i.e., the cross-process
+collective actually ran (a process seeing only its local shard would report
+a different mean).
+"""
+
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_two_process_mesh_reduction():
+    port = 23457
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS",)}
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env_base["PYTHONPATH"] = str(REPO)
+
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "ffmpc_tpu.parallel.multihost_worker",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--batch-per-process", "4", "--horizon", "5", "--max-iters", "2"],
+            cwd=str(REPO), env=env_base,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=840)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    costs = []
+    for out in outs:
+        m = re.search(r"mean_cost=([0-9.eE+-]+).*finite=True", out)
+        assert m, out[-3000:]
+        costs.append(float(m.group(1)))
+    # both processes must report the SAME global mean (collective ran)
+    assert abs(costs[0] - costs[1]) <= 1e-6 * max(1.0, abs(costs[0])), costs
