@@ -425,7 +425,16 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
     (ocp.scalar_knot) for calc/term_calc — numerically equal to the
     vectorized path to float rounding, ~10x faster on TPU where the
     rollout's small-trailing-dim ops waste VPU lanes.  "vector" keeps the
-    array formulation (reference implementation / oracle)."""
+    array formulation (reference implementation / oracle).
+
+    deriv_mode: "scalar" = analytic implicit-function derivatives with
+    scalar-channel tangent sweeps — measured 9.5 ms vs 27.3 ms for
+    "analytic" at B=256xN=40 on TPU v5e; the TPU batch paths
+    (run.batch_runner / bench) select it.  It stays OFF by default because
+    XLA:CPU's compile time explodes on the scalar-swept graph (>40 min vs
+    ~1 min through the TPU toolchain) and the CPU host-loop controllers /
+    tests would pay it.  "analytic" (default) = vector-layout analytic;
+    "jacfwd" = full-chain forward-mode oracle."""
     spec, nc = _make_spec(model, W, surface)
     nx, nu = 14, 7
     dt = float(W.dt_ocp)
@@ -445,48 +454,27 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
         from .scalar_knot import make_scalar_calc_classical
         calc, scalar_term_calc = make_scalar_calc_classical(model, W, surface)
 
-    if deriv_mode == "analytic":
+    if deriv_mode in ("analytic", "scalar"):
+        if deriv_mode == "scalar":
+            # analytic derivative structure with every tangent sweep running
+            # through the scalar-channel chain (lane-efficient on TPU)
+            from .scalar_knot import make_scalar_analytic_classical
+            afn = make_scalar_analytic_classical(model, W, surface)
+        else:
+            def afn(ref, x, u, terminal):
+                return _classical_analytic(model, W, surface, nc, terminal,
+                                           ref, x, u)
+
         def diff(ref, x, u):
-            xnext, res, Jx, Ju, Fx, Fu = _classical_analytic(
-                model, W, surface, nc, False, ref, x, u)
+            xnext, res, Jx, Ju, Fx, Fu = afn(ref, x, u, False)
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
             return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
     else:
-        if deriv_mode == "scalar":
-            # jacfwd through the scalar-channel chain: tangents ride the
-            # lane-efficient layout as an (n_tan, B) leading axis.
-            from .scalar_knot import make_scalar_raw_classical
-            raw_s = make_scalar_raw_classical(model, W, surface)
-            diff_raw = lambda ref, x, u: raw_s(ref, x, u, False)
-        else:
-            diff_raw = raw_run
-
-        # residuals that are pure regularizations: identity Jacobians,
-        # assembled structurally; and the only u-dependent residuals
-        _EYE_X = ("posture", "v_damp", "q_soft_limits")
-        _EYE_U = ("tau_reg", "tau_soft_limits")
-        _DENSE_U = ("unilateral", "fn_track", "friction_cone")
-
-        def _structure(Jx, Ju):
-            for k in _EYE_X:
-                if k in Jx:
-                    Jx[k] = ("eye", 0)
-            for k in _EYE_U:
-                Jx.pop(k, None)
-                if k in Ju:
-                    Ju[k] = ("eye", 0)
-            for k in list(Ju):
-                if k not in _EYE_U and k not in _DENSE_U:
-                    del Ju[k]
-            return Jx, Ju
-
         def diff(ref, x, u):
-            (xnext, res), (jac_x, jac_u) = _value_and_jac(diff_raw, ref, x, u)
+            (xnext, res), (jac_x, jac_u) = _value_and_jac(raw_run, ref, x, u)
             Fx, Jx = jac_x
             Fu, Ju = jac_u
-            if deriv_mode == "scalar":
-                Jx, Ju = _structure(dict(Jx), dict(Ju))
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
             return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
@@ -499,27 +487,20 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
     if calc_mode == "scalar":
         term_calc = scalar_term_calc
 
-    if deriv_mode == "analytic":
+    if deriv_mode in ("analytic", "scalar"):
         def term_diff(ref, x):
             u0 = jnp.zeros(nu, x.dtype)
-            _, res, Jx, _, _, _ = _classical_analytic(
-                model, W, surface, nc, True, ref, x, u0)
+            _, res, Jx, _, _, _ = afn(ref, x, u0, True)
             cost, Lx, _, Lxx, _, _ = _assemble_gn(
                 spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
             return cost, Lx, Lxx
     else:
-        if deriv_mode == "scalar":
-            def term_raw(ref, xx):
-                _, res = raw_s(ref, xx, jnp.zeros(nu, xx.dtype), True)
-                return res
-        else:
-            def term_raw(ref, xx):
+        def term_diff(ref, x):
+            def f(xx):
                 _, res = raw_term(ref, xx)
                 return res
-
-        def term_diff(ref, x):
-            res = term_raw(ref, x)
-            Jx = jax.jacfwd(lambda xx: term_raw(ref, xx))(x)
+            res = f(x)
+            Jx = jax.jacfwd(f)(x)
             cost, Lx, _, Lxx, _, _ = _assemble_gn(
                 spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
             return cost, Lx, Lxx
@@ -667,44 +648,23 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             Jw["w_soft"] = I7
         return ynext, res, Jy, Jw, Fy, Fw
 
-    if deriv_mode == "analytic":
+    if deriv_mode in ("analytic", "scalar"):
+        if deriv_mode == "scalar":
+            from .scalar_knot import make_scalar_analytic_augmented
+            aug_fn = make_scalar_analytic_augmented(model, W, surface)
+        else:
+            aug_fn = _aug_analytic
+
         def diff(ref, y, w):
-            ynext, res, Jy, Jw, Fy, Fw = _aug_analytic(ref, y, w, False)
+            ynext, res, Jy, Jw, Fy, Fw = aug_fn(ref, y, w, False)
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 full_spec, res, Jy, Jw, dt, False, nx, nu, y.dtype)
             return KnotDeriv(ynext, cost, Fy, Fw, Lx, Lu, Lxx, Lxu, Luu)
     else:
-        if deriv_mode == "scalar":
-            from .scalar_knot import make_scalar_raw_augmented
-            raw_d = make_scalar_raw_augmented(model, W, surface)
-        else:
-            raw_d = raw
-
-        def _structure_aug(Jy, Jw):
-            """Identity/zero structure of the augmented residual Jacobians:
-            inner state regs are [I14 | 0], inner tau regs are [0 | I7]
-            (tau is state here), y_reg is I21; w enters ONLY the outer
-            w_reg/w_soft costs (the LPF row is dynamics, not a residual)."""
-            for k in ("posture", "v_damp", "q_soft_limits"):
-                if k in Jy:
-                    Jy[k] = ("eye", 0)
-            for k in ("tau_reg", "tau_soft_limits"):
-                if k in Jy:
-                    Jy[k] = ("eye", 14)
-            if "y_reg" in Jy:
-                Jy["y_reg"] = ("eye", 0)
-            Jw2 = {}
-            for k in ("w_reg", "w_soft"):
-                if k in Jw:
-                    Jw2[k] = ("eye", 0)
-            return Jy, Jw2
-
         def diff(ref, y, w):
-            ynext, res = raw_d(ref, y, w, False)
-            Fx, Jx_res = jax.jacfwd(lambda yy: raw_d(ref, yy, w, False))(y)
-            Fu, Ju_res = jax.jacfwd(lambda ww: raw_d(ref, y, ww, False))(w)
-            if deriv_mode == "scalar":
-                Jx_res, Ju_res = _structure_aug(dict(Jx_res), dict(Ju_res))
+            ynext, res = raw(ref, y, w, False)
+            Fx, Jx_res = jax.jacfwd(lambda yy: raw(ref, yy, w, False))(y)
+            Fu, Ju_res = jax.jacfwd(lambda ww: raw(ref, y, ww, False))(w)
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 full_spec, res, Jx_res, Ju_res, dt, False, nx, nu, y.dtype)
             return KnotDeriv(ynext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
@@ -718,10 +678,10 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
     if calc_mode == "scalar":
         term_calc = scalar_term_calc
 
-    if deriv_mode == "analytic":
+    if deriv_mode in ("analytic", "scalar"):
         def term_diff(ref, y):
             w0 = jnp.zeros(nu, y.dtype)
-            _, res, Jy, _, _, _ = _aug_analytic(ref, y, w0, True)
+            _, res, Jy, _, _, _ = aug_fn(ref, y, w0, True)
             cost, Lx, _, Lxx, _, _ = _assemble_gn(
                 full_spec, res, Jy, None, dt, True, nx, nu, y.dtype)
             return cost, Lx, Lxx
@@ -730,7 +690,7 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             w0 = jnp.zeros(nu, y.dtype)
 
             def f(yy):
-                _, res = raw_d(ref, yy, w0, True)
+                _, res = raw(ref, yy, w0, True)
                 return res
             res = f(y)
             Jx = jax.jacfwd(f)(y)

@@ -156,28 +156,185 @@ def _classical_raw_s(model: PandaModel, mc, W: OCPWeights, surface: bool,
     return q_next, v_next, res
 
 
-def make_scalar_raw_classical(model: PandaModel, W: OCPWeights, surface: bool):
-    """raw(ref, x, u, terminal) -> (xnext (14,), res dict of (nr,) arrays),
-    computed through the scalar-channel chain.  Differentiable: under
-    ``jax.jacfwd`` the tangents ride the same lane-efficient layout, which is
-    what makes the "scalar" deriv mode fast (the tangent of a (B,)-channel op
-    is a (n_tan, B)-channel op — full lanes, vectorized tangents)."""
-    from .action import _make_spec
+def make_scalar_analytic_classical(model: PandaModel, W: OCPWeights,
+                                   surface: bool):
+    """fn(ref, x, u, terminal) -> (xnext, res, Jx, Ju, Fx, Fu): the analytic
+    derivative pass (same implicit-function structure as
+    action._classical_analytic) with every tangent sweep running through the
+    scalar chain, so jacfwd tangents ride the lane-efficient layout.
 
-    _, nc = _make_spec(model, W, surface)
+    Pure-regularization residual Jacobians are emitted as ("eye", offset)
+    sentinels for the structured GN assembly."""
+    from .action import _make_spec, _build_q_soft_barrier, _friction_cone_A
+    from ..core.scalar_chain import (contact_dynamics_derivs_chain,
+                                     free_dynamics_derivs_chain, stack_mat)
+    from ..core.kinematics import FKResult
+    from .action import _residual_values
+
+    spec, nc = _make_spec(model, W, surface)
     mc = chain_consts(model)
+    dt = float(W.dt_ocp)
 
-    def raw(ref, x, u, terminal: bool):
-        xs = unstack(x, 14)
-        us = unstack(u, 7)
-        q_next, v_next, res = _classical_raw_s(
-            model, mc, W, surface, nc, terminal, ref, xs, us)
-        res_v = {k: jnp.stack([jnp.asarray(c, x.dtype) if is_const(c) else c
-                               for c in v])
-                 for k, v in res.items()}
-        return jnp.stack(q_next + v_next), res_v
+    def fn(ref, x, u, terminal: bool):
+        dtype = x.dtype
+        q_vec, v_vec = x[:7], x[7:14]
+        v_l = unstack(v_vec, 7)
+        r = _ref_scalars(ref)
+        Rdes_T = mat_T(r["R_des"])
 
-    return raw
+        def kin_of(qq, f2):
+            """Cost-residual kinematics inside the q-sweep (FK tangents
+            computed once, shared with the dynamics rows)."""
+            lin = [sadd(*[smul(v_l[j], f2.jp[j][ax]) for j in range(7)])
+                   for ax in range(3)]
+            ang = [sadd(*[smul(v_l[j], f2.axis[j][ax]) for j in range(7)])
+                   for ax in range(3)]
+            ori = _log3_s(mat_mul(Rdes_T, f2.ee_R))
+            return jnp.stack(ori), jnp.stack(lin + ang)
+
+        if surface:
+            z_target = ssub(r["p_ref"][2], float(W.z_press))
+            ref_pos = (z_target if nc == 1
+                       else [r["p_ref"][0], r["p_ref"][1], z_target])
+            dd = contact_dynamics_derivs_chain(
+                mc, q_vec, v_vec, u, ref_pos=ref_pos, nc1=(nc == 1),
+                baumgarte_kp=float(W.contact_gains[0]),
+                baumgarte_kd=float(W.contact_gains[1]),
+                damping_c=float(W.contact_inv_damping), extra_q_fn=kin_of)
+            force, df_dx, df_du = dd.force, dd.df_dx, dd.df_du
+        else:
+            dd = free_dynamics_derivs_chain(mc, q_vec, v_vec, u,
+                                            extra_q_fn=kin_of)
+            force = df_dx = df_du = None
+        dori_dq, dvel6_dq = dd.extras_jac
+        acc, da_dx, da_du = dd.acc, dd.da_dx, dd.da_du
+
+        v_next = v_vec + dt * acc
+        q_next = q_vec + dt * v_next
+        xnext = jnp.concatenate([q_next, v_next])
+
+        I7 = jnp.eye(7, dtype=dtype)
+        Aq, Av = da_dx[:, :7], da_dx[:, 7:]
+        Fx = jnp.concatenate([
+            jnp.concatenate([I7 + (dt * dt) * Aq, dt * I7 + (dt * dt) * Av], axis=1),
+            jnp.concatenate([dt * Aq, I7 + dt * Av], axis=1),
+        ], axis=0)
+        Fu = jnp.concatenate([(dt * dt) * da_du, dt * da_du], axis=0)
+
+        f = dd.f
+        like = acc[0]
+        Jp = stack_mat(f.jp, like).T        # (3, 7)
+        Jr = stack_mat(f.axis, like).T      # (3, 7)
+        vel6 = jnp.concatenate([Jp @ v_vec, Jr @ v_vec])
+        fk_shim = FKResult(R=None, p=None, axis_w=None,
+                           ee_R=stack_mat(f.ee_R, like),
+                           ee_p=stack_mat(f.ee_p, like))
+        res = _residual_values(model, W, surface, nc, terminal, ref, x, u,
+                               fk_shim, vel6, force)
+
+        Z37 = jnp.zeros((3, 7), dtype)
+        J_ori = jnp.concatenate([dori_dq, Z37], axis=1)
+        J_vel6 = jnp.concatenate(
+            [dvel6_dq, jnp.concatenate([Jp, Jr], axis=0)], axis=1)
+        J_pos14 = jnp.concatenate([Jp, Z37], axis=1)
+
+        Jx = {"posture": ("eye", 0), "v_damp": ("eye", 0),
+              "ee_ori": J_ori, "w_damp": J_vel6}
+        Ju = {}
+        if W.w_q_soft_limits > 0.0:
+            Jx["q_soft_limits"] = ("eye", 0)
+        if not terminal:
+            Ju["tau_reg"] = ("eye", 0)
+            if W.w_tau_soft_limits > 0.0:
+                Ju["tau_soft_limits"] = ("eye", 0)
+        if not surface:
+            Jx["ee_pos"] = J_pos14
+        else:
+            Jx["ee_xy"] = J_pos14
+            Jx["ee_vxy"] = J_vel6
+            if W.w_plane_z > 0.0:
+                Jx["plane_z"] = J_pos14
+            if W.w_vz > 0.0:
+                Jx["vz_damp"] = J_vel6
+            if nc == 3 and W.w_friction_cone > 0.0:
+                A = jnp.asarray(_friction_cone_A(W.mu), dtype)
+                Jx["friction_cone"] = A @ df_dx
+                Ju["friction_cone"] = A @ df_du
+            if W.w_unilateral > 0.0:
+                Jx["unilateral"] = df_dx
+                Ju["unilateral"] = df_du
+            if W.w_fn > 0.0:
+                Jx["fn_track"] = df_dx
+                Ju["fn_track"] = df_du
+        return xnext, res, Jx, Ju, Fx, Fu
+
+    return fn
+
+
+def make_scalar_analytic_augmented(model: PandaModel, W: OCPWeights,
+                                   surface: bool):
+    """fn(ref, y, w, terminal) -> (ynext, res, Jy, Jw, Fy, Fw): the augmented
+    LPF lift of make_scalar_analytic_classical (block assembly as in
+    action._aug_analytic / the reference's hand-built Jacobians,
+    crocoddyl_force_feedback.py:249-290), sentinel-aware."""
+    inner = make_scalar_analytic_classical(model, W, surface)
+    alpha = float(np.clip(W.ff_alpha, 0.0, 0.999999))
+    beta = 1.0 - alpha
+    dropped = []
+    if not W.use_inner_state_reg:
+        dropped += ["posture", "v_damp"]
+    if not W.use_inner_tau_reg:
+        dropped += ["tau_reg", "tau_soft_limits"]
+
+    def fn(ref, y, w, terminal: bool):
+        dtype = y.dtype
+        x_mb = y[:14]
+        tau = y[14:21]
+        xnext_mb, res, Jx_in, Ju_in, Fx_in, Fu_in = inner(ref, x_mb, tau,
+                                                          terminal)
+        for name in dropped:
+            res.pop(name, None)
+            Jx_in.pop(name, None)
+            Ju_in.pop(name, None)
+        tau_next = alpha * tau + beta * w
+        ynext = jnp.concatenate([xnext_mb, tau_next])
+
+        I7 = jnp.eye(7, dtype=dtype)
+        Z7x14 = jnp.zeros((7, 14), dtype)
+        Fy = jnp.concatenate([
+            jnp.concatenate([Fx_in, Fu_in], axis=1),
+            jnp.concatenate([Z7x14, alpha * I7], axis=1),
+        ], axis=0)
+        Fw = jnp.concatenate([jnp.zeros((14, 7), dtype), beta * I7], axis=0)
+
+        Jy = {}
+        for name in res:
+            jx = Jx_in.get(name)
+            ju = Ju_in.get(name)
+            if jx is None and ju is None:
+                continue
+            if isinstance(jx, tuple):       # ("eye", off): x-block offsets
+                Jy[name] = jx               # hold unchanged in y space
+            elif isinstance(ju, tuple):     # inner control IS the tau state
+                Jy[name] = ("eye", 14 + ju[1])
+            else:
+                nr = res[name].shape[0]
+                jx_d = jx if jx is not None else jnp.zeros((nr, 14), dtype)
+                ju_d = ju if ju is not None else jnp.zeros((nr, 7), dtype)
+                Jy[name] = jnp.concatenate([jx_d, ju_d], axis=1)
+        Jw = {}
+        if W.w_y > 0.0:
+            res["y_reg"] = y - ref.y_ref
+            Jy["y_reg"] = ("eye", 0)
+        if W.w_w > 0.0:
+            res["w_reg"] = w
+            Jw["w_reg"] = ("eye", 0)
+        if W.w_w_soft_limits > 0.0:
+            res["w_soft"] = w
+            Jw["w_soft"] = ("eye", 0)
+        return ynext, res, Jy, Jw, Fy, Fw
+
+    return fn
 
 
 def make_scalar_calc_classical(model: PandaModel, W: OCPWeights, surface: bool):
@@ -203,46 +360,6 @@ def make_scalar_calc_classical(model: PandaModel, W: OCPWeights, surface: bool):
         return _assemble_cost_s(spec, res, 1.0, True)
 
     return calc, term_calc
-
-
-def make_scalar_raw_augmented(model: PandaModel, W: OCPWeights, surface: bool):
-    """raw(ref, y, w, terminal) -> (ynext (21,), res dict of (nr,) arrays)
-    through the scalar-channel chain (see make_scalar_raw_classical)."""
-    from .action import _make_spec
-
-    _, nc = _make_spec(model, W, surface)
-    mc = chain_consts(model)
-    alpha = float(np.clip(W.ff_alpha, 0.0, 0.999999))
-    beta = 1.0 - alpha
-    dropped = []
-    if not W.use_inner_state_reg:
-        dropped += ["posture", "v_damp"]
-    if not W.use_inner_tau_reg:
-        dropped += ["tau_reg", "tau_soft_limits"]
-
-    def raw(ref, y, w, terminal: bool):
-        ys = unstack(y, 21)
-        ws = unstack(w, 7)
-        x, tau = ys[:14], ys[14:21]
-        q_next, v_next, res = _classical_raw_s(
-            model, mc, W, surface, nc, terminal, ref, x, tau)
-        for name in dropped:
-            res.pop(name, None)
-        tau_next = [sadd(smul(alpha, tau[i]), smul(beta, ws[i]))
-                    for i in range(7)]
-        r = _ref_scalars(ref)
-        if W.w_y > 0.0:
-            res["y_reg"] = [ssub(ys[i], r["y_ref"][i]) for i in range(21)]
-        if W.w_w > 0.0:
-            res["w_reg"] = ws
-        if W.w_w_soft_limits > 0.0:
-            res["w_soft"] = ws
-        res_v = {k: jnp.stack([jnp.asarray(c, y.dtype) if is_const(c) else c
-                               for c in v])
-                 for k, v in res.items()}
-        return jnp.stack(q_next + v_next + tau_next), res_v
-
-    return raw
 
 
 def make_scalar_calc_augmented(model: PandaModel, W: OCPWeights, surface: bool):

@@ -46,6 +46,24 @@ class EpisodeConfig:
     ff_inverse_actuation: bool = True
     feedback_gain_scale: float = 0.55
     posture_ref_q_nom: bool = True
+    # knot derivative backend: "auto" resolves to "scalar" (lane-efficient
+    # scalar-channel sweeps) on TPU and "analytic" (vector layout) on CPU —
+    # XLA:CPU's compile time explodes on the scalar-swept graph (>40 min vs
+    # ~1 min through the TPU toolchain).  Override explicitly when the
+    # compute devices differ from the default platform (e.g. a CPU mesh
+    # under a TPU-default process).
+    deriv_mode: str = "auto"
+
+
+def resolve_deriv_mode(mode: str) -> str:
+    """Resolve EpisodeConfig.deriv_mode "auto" against the platform the
+    solve will actually run on (the configured default device if set,
+    else the default backend)."""
+    if mode != "auto":
+        return mode
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return "scalar" if platform == "tpu" else "analytic"
 
 
 @dataclass(frozen=True)
@@ -82,8 +100,9 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
     is_ff = ep.controller == "force_feedback"
     nx = 21 if is_ff else 14
     make_knot = make_augmented_knot if is_ff else make_classical_knot
-    knot_free = make_knot(model, W, surface=False)
-    knot_contact = make_knot(model, W, surface=True)
+    deriv = resolve_deriv_mode(ep.deriv_mode)
+    knot_free = make_knot(model, W, surface=False, deriv_mode=deriv)
+    knot_contact = make_knot(model, W, surface=True, deriv_mode=deriv)
     R_des = jnp.asarray(make_vertical_down_R(), dtype)
     q_nom = jnp.asarray(q_nom, dtype)
     x_reg_nom = jnp.concatenate([q_nom, jnp.zeros(7, dtype)])
@@ -207,7 +226,8 @@ def make_batched_solve_fn(model: PandaModel, W: OCPWeights,
     N = ep.horizon
     is_ff = ep.controller == "force_feedback"
     make_knot = make_augmented_knot if is_ff else make_classical_knot
-    knot = make_knot(model, W, surface=surface)
+    knot = make_knot(model, W, surface=surface,
+                     deriv_mode=resolve_deriv_mode(ep.deriv_mode))
     R_des = jnp.asarray(make_vertical_down_R(), dtype)
     q_nom = jnp.asarray(q_nom, dtype)
     x_reg_nom = jnp.concatenate([q_nom, jnp.zeros(7, dtype)])

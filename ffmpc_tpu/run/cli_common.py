@@ -44,7 +44,25 @@ def add_common_args(parser: argparse.ArgumentParser, default_results: Path):
     parser.add_argument("--device", choices=("cpu", "default"), default="cpu",
                         help="Backend for the per-tick solves: 'cpu' (host "
                              "loop default) or 'default' (jax default device).")
+    parser.add_argument("--stable", action="store_true",
+                        help="Apply the null-space stabilization patch on top "
+                             "of the selected preset: stronger posture/yaw "
+                             "regularization and joint-limit barriers.  "
+                             "Addresses the classical controller's transient "
+                             "null-space yaw excursion (~t=1.9 s, flat "
+                             "benchmark) at a small tracking-stiffness cost.")
     parser.set_defaults(benchmark_mode=True)
+
+
+def stable_patch(cfg):
+    """Null-space stabilization overrides (see --stable)."""
+    import numpy as np
+    cfg.w_posture = max(float(cfg.w_posture), 8.0e-1)
+    cfg.ori_weights = np.array([2.4, 2.4, 1.2])
+    cfg.w_wdamp_weights = np.array([1.8, 1.8, 1.0])
+    cfg.w_q_soft_limits = max(float(cfg.w_q_soft_limits), 12.0)
+    cfg.q_soft_limit_margin = max(float(cfg.q_soft_limit_margin), 0.08)
+    return cfg
 
 
 def sweep_or_single(controller: str, args: argparse.Namespace):
@@ -63,6 +81,7 @@ def sweep_or_single(controller: str, args: argparse.Namespace):
         benchmark_mode=args.benchmark_mode,
         model_variant=args.model_variant,
         device=args.device,
+        config_patch=stable_patch if getattr(args, "stable", False) else None,
     )
     if hasattr(args, "ff_tau_state_source"):
         kw["ff_tau_state_source"] = args.ff_tau_state_source
