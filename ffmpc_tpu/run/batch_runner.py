@@ -59,11 +59,8 @@ def resolve_deriv_mode(mode: str) -> str:
     """Resolve EpisodeConfig.deriv_mode "auto" against the platform the
     solve will actually run on (the configured default device if set,
     else the default backend)."""
-    if mode != "auto":
-        return mode
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
-    return "scalar" if platform == "tpu" else "analytic"
+    from ..solver.fddp import resolve_platform_mode
+    return resolve_platform_mode(mode, scalar="scalar", vector="analytic")
 
 
 @dataclass(frozen=True)

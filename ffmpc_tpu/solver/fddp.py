@@ -69,6 +69,25 @@ class FDDPSettings:
     # warm-started MPC usually accepts alpha=1, cutting rollout work ~n_alphas
     # fold; under vmap(solve) the whole batch pays max-trips-over-lanes.
     linesearch_mode: str = "batched"
+    # NOTE on a measured negative result: scalarizing the backward-sweep
+    # body (unstacking Vxx/Fx into channels, scalar GEMMs + scalar box-QP)
+    # made the full solve 3x SLOWER (780 -> 247 solves/s at B=256).  The
+    # backward scan runs at carry width B only — 2 f32 tiles per op — so
+    # per-op overhead dominates; scalar channels pay off at the rollout /
+    # derivative widths (B*n_alphas, n_tan*B >= ~2.5k lanes), not here.
+
+
+def resolve_platform_mode(mode: str, scalar: str = "scalar",
+                          vector: str = "vector") -> str:
+    """Resolve an "auto" kernel-mode against the platform the computation
+    will run on (the configured default device if set, else the default
+    backend).  Scalar-channel graphs are the fast path on TPU but
+    pathologically slow to compile on XLA:CPU."""
+    if mode != "auto":
+        return mode
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return scalar if platform == "tpu" else vector
 
 
 class FDDPResult(NamedTuple):
