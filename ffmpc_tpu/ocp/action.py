@@ -303,11 +303,16 @@ def _assemble_gn(spec, res, Jx, Ju, dt_scale: float, terminal: bool, nx: int, nu
             Lx = Lx + s * (jx.T @ g)
             Lxx = Lxx + s * (jx.T @ (h[:, None] * jx))
         if is_eye(ju):
+            # eye-u terms must be pure u-regs: an x-Jacobian here would
+            # need an Lxu cross-term this branch does not assemble.
+            if jx is not None:
+                raise ValueError(
+                    f"cost term '{name}': eye-u residual with an x-Jacobian "
+                    "is unsupported (missing Lxu cross-term)")
             off = ju[1]
             nr = r.shape[0]
             Lu = Lu.at[off:off + nr].add(s * g)
             diag_u = diag_u.at[off:off + nr].add(s * h)
-            # eye-u terms never co-occur with an x-Jacobian (pure u-regs)
         elif ju is not None:
             Lu = Lu + s * (ju.T @ g)
             Luu = Luu + s * (ju.T @ (h[:, None] * ju))

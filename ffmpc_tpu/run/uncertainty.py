@@ -1,15 +1,26 @@
-"""Benchmark uncertainty-injection protocol.
+"""Benchmark uncertainty-injection protocol (host side).
 
-Equivalent of the reference ScenarioUncertaintyInjector
-(src/run/uncertainty_profiles.py:12-161): actuation gain/bias applied to the
-*delayed* command, Gaussian sensor noise on q/dq, delayed observations, and
-the tau_meas* channels replaced by the corrupted-command model.  Doubles as
-a deterministic fault-injection fixture (seeded).
+Implements the reference benchmark's actuation-uncertainty protocol
+(src/run/uncertainty_profiles.py:12-161, *protocol* semantics only):
+
+* one episode-constant actuation gain ``a ~ U[a_min,a_max]`` and bias
+  ``b ~ U[b_min,b_max]``,
+* the plant receives ``a * cmd(t - delta_cmd) + b + N(0, sigma_tau)``,
+* the controller sees the observation from ``delta_obs`` 1 kHz cycles ago
+  with Gaussian noise on q/dq, and its torque-measurement channels replaced
+  by the corrupted-command model (fresh noise draw + injector-owned LPF).
+
+The *seeded draw order* is part of the benchmark definition and is pinned by
+``tests/test_harness.py`` (per tick: q-noise(7), dq-noise(7), tau-noise(7)
+on the observation side, then tau-noise(7) on the command side; a then b at
+episode start).  The mechanics here are original: fixed-capacity ring
+buffers instead of deques, and corruption as a pure function via
+``dataclasses.replace`` — the on-device scan-carried twin of this protocol
+lives in run/batch_runner.py (DeviceUncertainty).
 """
 
 from __future__ import annotations
 
-from collections import deque
 from dataclasses import dataclass, replace
 from typing import Optional
 
@@ -33,25 +44,48 @@ class UncertaintyProfileConfig:
 
 
 def config_for_scenario(scenario: str, seed: int = 0) -> Optional[UncertaintyProfileConfig]:
+    """Only the actuation_uncertainty scenario carries a profile."""
     if str(scenario).strip().lower() == "actuation_uncertainty":
         return UncertaintyProfileConfig(seed=int(seed))
     return None
 
 
-def _copy_obs(obs: Observation) -> Observation:
-    def cp(a):
-        return None if a is None else np.asarray(a, dtype=float).copy()
-    return replace(
-        obs,
-        q=cp(obs.q), dq=cp(obs.dq),
-        tau_meas=cp(obs.tau_meas), tau_meas_filt=cp(obs.tau_meas_filt),
-        tau_meas_act=cp(obs.tau_meas_act), tau_meas_act_filt=cp(obs.tau_meas_act_filt),
-        tau_cmd=cp(obs.tau_cmd), tau_act=cp(obs.tau_act),
-        tau_constraint=cp(obs.tau_constraint), tau_total=cp(obs.tau_total),
-        tau_bias=cp(obs.tau_bias), f_contact_world=cp(obs.f_contact_world),
-        ee_pos=cp(obs.ee_pos), ee_quat=cp(obs.ee_quat),
-        J_pos=cp(obs.J_pos), J_rot=cp(obs.J_rot), ee_vel=cp(obs.ee_vel),
-    )
+class _Ring:
+    """Fixed-capacity FIFO: push() appends, oldest() reads the head.
+
+    Capacity ``delay + 1`` makes oldest() the item from ``delay`` pushes ago
+    once full; until full, oldest() clamps to the earliest push.
+    """
+
+    def __init__(self, capacity: int):
+        self.cap = max(int(capacity), 1)
+        self._items: list = [None] * self.cap
+        self._head = 0      # index of oldest
+        self._size = 0
+
+    def __len__(self) -> int:
+        return self._size
+
+    def push(self, item) -> None:
+        if self._size < self.cap:
+            self._items[(self._head + self._size) % self.cap] = item
+            self._size += 1
+        else:
+            self._items[self._head] = item
+            self._head = (self._head + 1) % self.cap
+
+    def oldest(self):
+        return self._items[self._head]
+
+
+def _frozen(obs: Observation) -> Observation:
+    """Snapshot an observation: copy every array field so later in-place
+    mutation by the sim cannot retroactively edit the delay line."""
+    fields = {}
+    for name, val in vars(obs).items():
+        if isinstance(val, np.ndarray):
+            fields[name] = np.array(val, dtype=float)
+    return replace(obs, **fields)
 
 
 class ScenarioUncertaintyInjector:
@@ -61,58 +95,67 @@ class ScenarioUncertaintyInjector:
         self.nu = int(nu)
         self.cfg = config
         self.rng = np.random.default_rng(int(config.seed))
+        # episode-constant actuation corruption (draws #1 and #2)
         self.a = float(self.rng.uniform(config.a_min, config.a_max))
         self.b = float(self.rng.uniform(config.b_min, config.b_max))
-        self.obs_delay_cycles_1khz = int(max(config.delta_obs_cycles, 0))
-        obs_delay_s = self.obs_delay_cycles_1khz * 1.0e-3
-        self.obs_delay_steps = int(max(round(obs_delay_s / self.dt), 0))
-        self.cmd_delay_steps = int(max(round(config.delta_cmd_s / self.dt), 0))
-        self._obs_hist: deque = deque(maxlen=self.obs_delay_steps + 1)
-        self._cmd_hist: deque = deque(maxlen=self.cmd_delay_steps + 1)
+        # delays are specified at the 1 kHz physics rate / in seconds;
+        # quantize to control steps
+        self.obs_delay_cycles_1khz = max(int(config.delta_obs_cycles), 0)
+        self.obs_delay_steps = int(max(
+            round(self.obs_delay_cycles_1khz * 1.0e-3 / self.dt), 0))
+        self.cmd_delay_steps = int(max(
+            round(config.delta_cmd_s / self.dt), 0))
+        self._obs_ring = _Ring(self.obs_delay_steps + 1)
+        self._cmd_ring = _Ring(self.cmd_delay_steps + 1)
+        # the command line starts saturated with zeros (protocol: the first
+        # delta_cmd of plant input sees gain*0 + b + noise)
         for _ in range(self.cmd_delay_steps + 1):
-            self._cmd_hist.append(np.zeros(self.nu))
+            self._cmd_ring.push(np.zeros(self.nu))
         self._tau_hat_filt = np.zeros(self.nu)
-        self._tau_lpf_alpha = float(np.clip(tau_lpf_alpha, 0.0, 1.0))
+        self._alpha = float(np.clip(tau_lpf_alpha, 0.0, 1.0))
 
     def meta(self) -> dict:
+        c = self.cfg
         return {
             "a": self.a, "b": self.b,
-            "sigma_q": self.cfg.sigma_q, "sigma_dq": self.cfg.sigma_dq,
-            "sigma_tau": self.cfg.sigma_tau,
+            "sigma_q": c.sigma_q, "sigma_dq": c.sigma_dq,
+            "sigma_tau": c.sigma_tau,
             "delta_obs_cycles_1khz": self.obs_delay_cycles_1khz,
             "delta_obs_steps": self.obs_delay_steps,
             "delta_cmd_steps": self.cmd_delay_steps,
-            "delta_cmd_s": self.cfg.delta_cmd_s,
-            "seed": int(self.cfg.seed),
+            "delta_cmd_s": c.delta_cmd_s,
+            "seed": int(c.seed),
         }
 
-    def _delayed_command(self) -> np.ndarray:
-        return np.asarray(self._cmd_hist[0]).reshape(self.nu)
-
-    def _sample_tau_hat(self) -> np.ndarray:
-        noise = self.rng.normal(0.0, self.cfg.sigma_tau, size=self.nu)
-        return self.a * self._delayed_command() + self.b + noise
+    def _corrupted_torque(self) -> np.ndarray:
+        """a * (delayed command) + b + N(0, sigma_tau) — one rng draw."""
+        delayed = np.asarray(self._cmd_ring.oldest()).reshape(self.nu)
+        return (self.a * delayed + self.b
+                + self.rng.normal(0.0, self.cfg.sigma_tau, size=self.nu))
 
     def observation_for_controller(self, obs: Observation) -> Observation:
-        obs_copy = _copy_obs(obs)
-        if len(self._obs_hist) == 0:
-            for _ in range(self.obs_delay_steps + 1):
-                self._obs_hist.append(_copy_obs(obs_copy))
+        snap = _frozen(obs)
+        if len(self._obs_ring) == 0:
+            # saturate so the first ticks replay obs0 rather than nothing
+            while len(self._obs_ring) < self._obs_ring.cap:
+                self._obs_ring.push(snap)
         else:
-            self._obs_hist.append(obs_copy)
-        delayed = _copy_obs(self._obs_hist[0])
-        delayed.q = delayed.q + self.rng.normal(0.0, self.cfg.sigma_q, size=self.nu)
-        delayed.dq = delayed.dq + self.rng.normal(0.0, self.cfg.sigma_dq, size=self.nu)
-        tau_hat = self._sample_tau_hat()
-        self._tau_hat_filt = ((1.0 - self._tau_lpf_alpha) * self._tau_hat_filt
-                              + self._tau_lpf_alpha * tau_hat)
-        delayed.tau_meas = tau_hat.copy()
-        delayed.tau_meas_filt = self._tau_hat_filt.copy()
-        delayed.tau_meas_act = tau_hat.copy()
-        delayed.tau_meas_act_filt = self._tau_hat_filt.copy()
-        return delayed
+            self._obs_ring.push(snap)
+        stale = self._obs_ring.oldest()
+
+        q_noisy = stale.q + self.rng.normal(0.0, self.cfg.sigma_q, self.nu)
+        dq_noisy = stale.dq + self.rng.normal(0.0, self.cfg.sigma_dq, self.nu)
+        tau_hat = self._corrupted_torque()
+        self._tau_hat_filt = (self._alpha * tau_hat
+                              + (1.0 - self._alpha) * self._tau_hat_filt)
+        return replace(
+            stale, q=q_noisy, dq=dq_noisy,
+            tau_meas=tau_hat.copy(), tau_meas_act=tau_hat.copy(),
+            tau_meas_filt=self._tau_hat_filt.copy(),
+            tau_meas_act_filt=self._tau_hat_filt.copy(),
+        )
 
     def command_for_plant(self, tau_cmd_nominal: np.ndarray) -> np.ndarray:
-        tau_cmd_nominal = np.asarray(tau_cmd_nominal, dtype=float).reshape(self.nu)
-        self._cmd_hist.append(tau_cmd_nominal.copy())
-        return self._sample_tau_hat()
+        self._cmd_ring.push(
+            np.array(tau_cmd_nominal, dtype=float).reshape(self.nu))
+        return self._corrupted_torque()

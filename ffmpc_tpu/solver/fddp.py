@@ -26,7 +26,7 @@ data-dependent control flow.  State spaces are Euclidean (all-revolute Panda
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,15 +78,27 @@ class FDDPSettings:
 
 
 def resolve_platform_mode(mode: str, scalar: str = "scalar",
-                          vector: str = "vector") -> str:
+                          vector: str = "vector",
+                          platform: Optional[str] = None) -> str:
     """Resolve an "auto" kernel-mode against the platform the computation
-    will run on (the configured default device if set, else the default
-    backend).  Scalar-channel graphs are the fast path on TPU but
-    pathologically slow to compile on XLA:CPU."""
+    will run on.  Scalar-channel graphs are the fast path on TPU but
+    pathologically slow to compile on XLA:CPU.
+
+    ``platform`` pins the target explicitly (pass ``devs[0].platform`` when
+    the solve is sharded onto known devices); otherwise the configured
+    default device is consulted (which may be a Device *or* a platform
+    string), falling back to the default backend.
+    """
     if mode != "auto":
         return mode
-    dev = jax.config.jax_default_device
-    platform = dev.platform if dev is not None else jax.default_backend()
+    if platform is None:
+        dev = jax.config.jax_default_device
+        if dev is None:
+            platform = jax.default_backend()
+        elif isinstance(dev, str):
+            platform = dev
+        else:
+            platform = dev.platform
     return scalar if platform == "tpu" else vector
 
 

@@ -1,9 +1,14 @@
-"""Run logger producing the reference's artifact layout:
-<results>/logs/<stamp>_<name>/{data.npz, data.csv, meta.json}.
+"""Streaming columnar run logger.
 
-Equivalent of the reference RunLogger (src/utils/logging.py:33-152): per-step
-kwargs buffered in memory; on save, arrays are stacked into npz, scalars and
-short vectors (<= 10) flatten into csv columns, metadata goes to json.
+Produces the artifact layout the evaluation tooling expects —
+``<results>/logs/<stamp>_<name>/{data.npz, data.csv, meta.json}`` (same
+on-disk contract as the reference's src/utils/logging.py) — but with a
+different engine: instead of buffering row dicts and post-processing at
+save(), the schema is frozen on the first `log()` call, each channel gets a
+preallocated numpy column that grows geometrically, and the CSV is written
+*incrementally* as rows arrive (so a killed run still leaves a usable CSV).
+This suits long TPU ensemble sweeps where buffering every python row dict
+for 10^5 ticks is wasteful.
 """
 
 from __future__ import annotations
@@ -17,42 +22,106 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+_CSV_VEC_MAX = 10   # 1-D vectors up to this size widen into per-index columns
 
-def _to_jsonable(x: Any) -> Any:
-    if x is None or isinstance(x, (str, int, float, bool)):
-        return x
-    if is_dataclass(x):
-        return _to_jsonable(asdict(x))
-    if isinstance(x, Path):
-        return str(x)
-    if isinstance(x, dict):
-        return {str(k): _to_jsonable(v) for k, v in x.items()}
-    if isinstance(x, (list, tuple)):
-        return [_to_jsonable(v) for v in x]
-    if isinstance(x, np.ndarray):
-        return x.tolist()
+
+def jsonable(x: Any) -> Any:
+    """Recursively coerce to something json.dump accepts."""
     if isinstance(x, (np.integer, np.floating, np.bool_)):
         return x.item()
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if is_dataclass(x) and not isinstance(x, type):
+        return jsonable(asdict(x))
+    if isinstance(x, dict):
+        return {str(k): jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [jsonable(v) for v in x]
+    if isinstance(x, Path):
+        return str(x)
+    if x is None or isinstance(x, (str, int, float, bool)):
+        return x
     return str(x)
 
 
+class _Column:
+    """A single logged channel: growable numpy storage + CSV cell policy."""
+
+    def __init__(self, name: str, first: Any):
+        self.name = name
+        if isinstance(first, np.ndarray):
+            self.shape = first.shape
+            self.dtype = (first.dtype if first.dtype.kind in "fiub"
+                          else np.dtype(object))
+        elif isinstance(first, (bool, int, float, np.generic)):
+            self.shape = ()
+            self.dtype = np.dtype(float)
+        else:
+            self.shape = ()
+            self.dtype = np.dtype(object)
+        self.widen = (len(self.shape) == 1 and self.shape[0] <= _CSV_VEC_MAX
+                      and self.dtype != object)
+        self._n = 0
+        cap = 1024
+        if self.dtype == object:
+            self._buf: Any = []
+        else:
+            self._buf = np.empty((cap,) + self.shape, dtype=self.dtype)
+
+    def csv_header(self) -> list:
+        if self.widen:
+            return [f"{self.name}[{i}]" for i in range(self.shape[0])]
+        return [self.name]
+
+    def csv_cells(self, value: Any) -> list:
+        if self.widen:
+            return list(np.asarray(value).reshape(-1))
+        if isinstance(value, np.ndarray):
+            return [jsonable(value)]
+        return [value]
+
+    def push(self, value: Any) -> None:
+        if self.dtype == object:
+            self._buf.append(jsonable(value))
+            self._n += 1
+            return
+        if self._n == len(self._buf):
+            grown = np.empty((2 * len(self._buf),) + self.shape, self.dtype)
+            grown[: self._n] = self._buf
+            self._buf = grown
+        self._buf[self._n] = value
+        self._n += 1
+
+    def array(self) -> np.ndarray:
+        if self.dtype == object:
+            return np.array(self._buf, dtype=object)
+        return self._buf[: self._n]
+
+
 class RunLogger:
+    """log(**channels) per tick; save() finalizes npz + meta (CSV streams)."""
+
     def __init__(self, run_name: str, results_dir: Path | str = "results",
-                 notes: Optional[Dict[str, Any]] = None, overwrite: bool = False):
+                 notes: Optional[Dict[str, Any]] = None,
+                 overwrite: bool = False):
+        stamp = time.strftime("%Y%m%d_%H%M%S")
         self.results_dir = Path(results_dir)
         self.logs_dir = self.results_dir / "logs"
-        self.logs_dir.mkdir(parents=True, exist_ok=True)
-        stamp = time.strftime("%Y%m%d_%H%M%S")
         self.run_dir = self.logs_dir / f"{stamp}_{run_name}"
         if self.run_dir.exists() and not overwrite:
             raise FileExistsError(f"Run dir exists: {self.run_dir}")
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self._rows: list[dict[str, Any]] = []
         self.meta: Dict[str, Any] = {
             "run_name": run_name, "timestamp": stamp,
-            "notes": _to_jsonable(notes or {}),
+            "notes": jsonable(notes or {}),
         }
+        self._schema: Optional[list[str]] = None       # frozen key order
+        self._cols: Dict[str, _Column] = {}
+        self._csv_file = None
+        self._csv = None
+        self._n_rows = 0
 
+    # artifact paths (stable contract consumed by plots/tests)
     @property
     def path_npz(self) -> Path:
         return self.run_dir / "data.npz"
@@ -65,53 +134,48 @@ class RunLogger:
     def path_meta(self) -> Path:
         return self.run_dir / "meta.json"
 
-    def log(self, **kwargs: Any) -> None:
-        self._rows.append(kwargs)
+    def _freeze_schema(self, row: Dict[str, Any]) -> None:
+        self._schema = sorted(row.keys())
+        header: list[str] = []
+        for k in self._schema:
+            col = _Column(k, row[k])
+            self._cols[k] = col
+            header.extend(col.csv_header())
+        self._csv_file = open(self.path_csv, "w", newline="")
+        self._csv = csv.writer(self._csv_file)
+        self._csv.writerow(header)
+
+    def log(self, **row: Any) -> None:
+        if self._schema is None:
+            self._freeze_schema(row)
+        cells: list = []
+        for k in self._schema:
+            v = row.get(k)
+            self._cols[k].push(v)
+            cells.extend(self._cols[k].csv_cells(v))
+        self._csv.writerow(cells)
+        self._n_rows += 1
 
     def set_meta(self, **kwargs: Any) -> None:
-        self.meta.update(_to_jsonable(kwargs))
+        self.meta.update(jsonable(kwargs))
 
     def save(self) -> None:
-        if not self._rows:
-            return
-        keys = sorted(self._rows[0].keys())
-        out: Dict[str, Any] = {}
-        for k in keys:
-            vals = [r.get(k) for r in self._rows]
-            if isinstance(vals[0], np.ndarray):
-                try:
-                    out[k] = np.stack(vals, axis=0)
-                    continue
-                except Exception:
-                    pass
-            try:
-                out[k] = np.array(vals, dtype=float)
-            except Exception:
-                out[k] = np.array([_to_jsonable(v) for v in vals], dtype=object)
-        np.savez_compressed(self.path_npz, **out)
-
-        header: list[str] = []
-        sample = self._rows[0]
-        for k in keys:
-            v = sample.get(k)
-            if isinstance(v, np.ndarray) and v.ndim == 1 and v.size <= 10:
-                header.extend(f"{k}[{i}]" for i in range(v.size))
-            else:
-                header.append(k)
-        with open(self.path_csv, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(header)
-            for r in self._rows:
-                row = []
-                for k in keys:
-                    v = r.get(k)
-                    if isinstance(v, np.ndarray) and v.ndim == 1 and v.size <= 10:
-                        row.extend(v.tolist())
-                    elif np.isscalar(v) or v is None:
-                        row.append(v)
-                    else:
-                        row.append(_to_jsonable(v))
-                w.writerow(row)
-
         with open(self.path_meta, "w") as f:
             json.dump(self.meta, f, indent=2)
+        if self._csv_file is not None:
+            self._csv_file.flush()
+        if self._n_rows == 0:
+            return
+        np.savez_compressed(
+            self.path_npz, **{k: c.array() for k, c in self._cols.items()})
+
+    def close(self) -> None:
+        if self._csv_file is not None:
+            self._csv_file.close()
+            self._csv_file = None
+
+    def __del__(self):  # best-effort handle release
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -94,6 +94,60 @@ def test_uncertainty_injector_protocol():
     assert inj_1k.cmd_delay_steps == 1
 
 
+def test_uncertainty_draw_order_and_delays():
+    """Pin the protocol's seeded draw sequence and delay-line semantics.
+
+    The expected values are generated here straight from the documented
+    protocol (a,b at start; per tick q(7), dq(7), tau(7) on the obs side and
+    tau(7) on the cmd side; delays quantized at the control rate) — an
+    independent spec-level model, not a snapshot of the implementation.
+    """
+    cfg = UncertaintyProfileConfig(seed=42)
+    dt = 0.001  # 1 kHz -> obs delay 2 steps, cmd delay 1 step
+    inj = ScenarioUncertaintyInjector(dt=dt, nu=7, config=cfg,
+                                      tau_lpf_alpha=0.2)
+    ref = np.random.default_rng(42)
+    a = ref.uniform(cfg.a_min, cfg.a_max)
+    b = ref.uniform(cfg.b_min, cfg.b_max)
+    assert inj.a == a and inj.b == b
+
+    cmd_line = [np.zeros(7)] * 2   # cmd delay 1 -> capacity 2, zero-filled
+    obs_line = []
+    filt = np.zeros(7)
+    qs = [np.full(7, 0.1 * k) for k in range(6)]
+    for k in range(6):
+        obs_line.append(qs[k])
+        if k == 0:
+            obs_line += [qs[0], qs[0]]   # saturate capacity-3 line
+        obs_line = obs_line[-3:]
+        out = inj.observation_for_controller(_mk_obs(q=qs[k].copy()))
+        exp_q = obs_line[0] + ref.normal(0.0, cfg.sigma_q, 7)
+        exp_dq = ref.normal(0.0, cfg.sigma_dq, 7)
+        exp_tau = a * cmd_line[0] + b + ref.normal(0.0, cfg.sigma_tau, 7)
+        filt = 0.2 * exp_tau + 0.8 * filt
+        assert np.allclose(out.q, exp_q, atol=1e-15)
+        assert np.allclose(out.dq, exp_dq, atol=1e-15)
+        assert np.allclose(out.tau_meas, exp_tau, atol=1e-15)
+        assert np.allclose(out.tau_meas_act_filt, filt, atol=1e-14)
+
+        cmd_k = np.full(7, 1.0 + k)
+        cmd_line = (cmd_line + [cmd_k])[-2:]
+        applied = inj.command_for_plant(cmd_k)
+        exp_applied = a * cmd_line[0] + b + ref.normal(0.0, cfg.sigma_tau, 7)
+        assert np.allclose(applied, exp_applied, atol=1e-15)
+
+
+def test_uncertainty_delay_line_frozen_against_mutation():
+    cfg = UncertaintyProfileConfig(seed=3, sigma_q=0.0, sigma_dq=0.0)
+    inj = ScenarioUncertaintyInjector(dt=0.001, nu=7, config=cfg)
+    q0 = np.full(7, 5.0)
+    obs = _mk_obs(q=q0)
+    inj.observation_for_controller(obs)
+    q0[:] = -99.0   # sim mutates its buffers in place
+    out = inj.observation_for_controller(_mk_obs(q=np.zeros(7)))
+    assert np.allclose(out.q, 5.0)  # delayed copy unaffected
+
+
 def test_scenarios():
     assert len(SCENARIOS) == 5
     s = scenario_settings("actuation_uncertainty")
@@ -118,6 +172,31 @@ def test_run_logger(tmp_path):
     import json
     meta = json.loads(lg.path_meta.read_text())
     assert meta["alpha"] == 1.5 and meta["arr"] == [1.0, 1.0]
+
+
+def test_run_logger_streams_csv(tmp_path):
+    """The CSV must be usable even if the run dies before save()."""
+    lg = RunLogger("stream", results_dir=tmp_path)
+    for k in range(3):
+        lg.log(t=float(k), v=np.arange(2.0))
+    lg.close()   # simulate process teardown without save()
+    lines = lg.path_csv.read_text().splitlines()
+    assert len(lines) == 4   # header + 3 rows
+    assert not lg.path_npz.exists()
+
+
+def test_run_logger_mixed_and_object_columns(tmp_path):
+    lg = RunLogger("mixed", results_dir=tmp_path)
+    big = np.zeros((4, 4))
+    for k in range(3):
+        lg.log(t=float(k), mat=big + k, tag=f"s{k}", i=k)
+    lg.save()
+    with np.load(lg.path_npz, allow_pickle=True) as z:
+        assert z["mat"].shape == (3, 4, 4)
+        assert z["i"].dtype.kind == "f" and z["i"][2] == 2.0
+        assert list(z["tag"]) == ["s0", "s1", "s2"]
+    header = lg.path_csv.read_text().splitlines()[0].split(",")
+    assert header.count("mat") == 1   # too big to widen
 
 
 def test_config_projection():

@@ -19,8 +19,15 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_mesh_reduction():
-    port = 23457
+    port = _free_port()
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("JAX_PLATFORMS",)}
     env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
