@@ -48,6 +48,7 @@ class TableParams(NamedTuple):
     width: jnp.ndarray
     midpoint: jnp.ndarray
     power: jnp.ndarray
+    diag_approx: jnp.ndarray  # MuJoCo efc_diagA for this contact pair
 
 
 def make_table_params(tilt_deg: float = 0.0, dtype=jnp.float32,
@@ -66,11 +67,19 @@ def make_table_params(tilt_deg: float = 0.0, dtype=jnp.float32,
     # includemargin: MuJoCo sums the two geoms' margins (ee_collision 1 mm +
     # table_contact 1 mm -> 2 mm force-onset distance; verified against
     # mjContact.includemargin).
+    # MuJoCo regularizes with R = (1-d)/d * efc_diagA, where efc_diagA is
+    # NOT the exact A = J M^-1 J^T but the compile-time constant
+    # sum of the two bodies' translational body_invweight0 (table body is
+    # static -> 0; ee tool body -> 0.1235373 for this scene).  Using the
+    # exact A here left a systematic ~2% force error (and ~15% in the
+    # margin zone); with MuJoCo's constant the state-matched force matches
+    # to <0.1% (tests/test_device_plant.py pins the constant against the
+    # compiled model).
     return TableParams(
         point=c(point), normal=c(normal), margin=c(2.0e-3),
         timeconst=c(0.02), dampratio=c(1.0),
         dmin=c(0.9), dmax=c(0.95), width=c(1.0e-3), midpoint=c(0.5),
-        power=c(2.0),
+        power=c(2.0), diag_approx=c(0.1235373),
     )
 
 
@@ -132,13 +141,16 @@ def _contact_force(model: PandaModel, table: TableParams, q, v, minv_tau, M_L,
     b = 2.0 / (table.dmax * table.timeconst)
     aref = -b * vel_n - k * d * pos
 
-    # A = J M^-1 J^T (scalar), a0 = J M^-1 (tau - bias) (drift Jdot*v omitted:
-    # negligible at 1 kHz for this geometry and absent from the regularized
-    # single-contact solve's dominant balance)
+    # A = J M^-1 J^T (scalar, exact), a0 = J M^-1 (tau - bias).  The drift
+    # Jdot*v is deliberately absent: MuJoCo's constraint residual is
+    # jar = J qacc - aref (efc_b = J qacc_smooth - aref, verified against
+    # data.efc_b), i.e. the arbiter itself omits it — adding it here would
+    # *diverge* from MuJoCo.  Regularization uses MuJoCo's compile-time
+    # diagonal approximation (see make_table_params), not the exact A.
     Minv_Jt = chol_solve(M_L, Jn)
     A = jnp.einsum("...i,...i->...", Jn, Minv_Jt)
     a0 = jnp.einsum("...i,...i->...", Jn, minv_tau)
-    R = jnp.maximum(A * (1.0 - d) / jnp.maximum(d, 1e-6), 1e-12)
+    R = jnp.maximum(table.diag_approx * (1.0 - d) / jnp.maximum(d, 1e-6), 1e-12)
     f = (aref - a0) / (A + R)
     f = jnp.where(active, jnp.maximum(f, 0.0), 0.0)
     return f, active
