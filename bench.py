@@ -76,26 +76,65 @@ def main():
         rate = B / dt
         if rate > best:
             best, best_B, lat_ms = rate, B, dt * 1e3
-    if os.environ.get("FFMPC_BENCH_FULL"):
+    # ---- B=1 replan latency vs the 5 ms budget (BASELINE.md:33) --------
+    # Two views: (a) host-dispatched single solve — includes the host->device
+    # dispatch path, the honest number for a host-driven 200 Hz loop;
+    # (b) per-tick time inside an on-device closed loop (solve+policy+plant
+    # fused in one scan) — the TPU-native real-time deployment shape, where
+    # dispatch cost amortizes over the episode.
+    if os.environ.get("FFMPC_BENCH_B1", "1") != "0":
         args1 = make_args(1)
         out = solve_j(*args1)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(5):
+        samples = []
+        for _ in range(50):
+            t0 = time.perf_counter()
             out = solve_j(*args1)
-        jax.block_until_ready(out)
-        replan_ms = (time.perf_counter() - t0) / 5 * 1e3
-    else:
-        replan_ms = float("nan")
+            jax.block_until_ready(out)
+            samples.append((time.perf_counter() - t0) * 1e3)
+        samples = np.asarray(samples)
+        replan_p50 = float(np.percentile(samples, 50))
+        replan_p99 = float(np.percentile(samples, 99))
 
+        from ffmpc_tpu.run.batch_runner import make_episode_fn
+        from ffmpc_tpu.sim.device_plant import make_table_params
+        ep_cl = EpisodeConfig(
+            controller="force_feedback", horizon=40, n_ticks=40,
+            ff_alpha_ocp=ep0.ff_alpha_ocp, ff_alpha_ctrl=ep0.ff_alpha_ctrl,
+            deriv_mode="scalar" if jax.default_backend() == "tpu" else "analytic")
+        episode = jax.jit(jax.vmap(make_episode_fn(
+            model, W, settings, traj, make_table_params(0.0, dtype=dtype),
+            ep_cl, q0, dtype=dtype)))
+        q0b = jnp.asarray(q0[None].astype(np.float32))
+        telem = episode(q0b)
+        jax.block_until_ready(telem)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            telem = episode(q0b)
+        jax.block_until_ready(telem)
+        ondevice_tick_ms = (time.perf_counter() - t0) / 3 / ep_cl.n_ticks * 1e3
+    else:
+        replan_p50 = replan_p99 = ondevice_tick_ms = float("nan")
+
+    # north-star: >=2000 solves/s on a v5e-8 => 250/chip; this container has
+    # one chip, so vs_baseline is measured against the per-chip share and
+    # vs_northstar_8chip against the full-pod target.
+    n_chips = max(1, len([d for d in jax.devices()
+                          if d.platform != "cpu"])) if jax.default_backend() != "cpu" else 1
+    per_chip_target = 2000.0 / 8.0
     print(json.dumps({
         "metric": "fddp_solves_per_s",
         "value": round(best, 1),
         "unit": "solves/s",
-        "vs_baseline": round(best / 2000.0, 3),
+        "vs_baseline": round(best / (per_chip_target * n_chips), 3),
+        "vs_northstar_8chip": round(best / 2000.0, 3),
+        "n_chips": n_chips,
         "batch": best_B,
         "batch_latency_ms": round(lat_ms, 2),
-        "replan_latency_ms_b1": round(replan_ms, 2),
+        "replan_latency_ms_b1": round(replan_p50, 2),
+        "replan_latency_ms_b1_p99": round(replan_p99, 2),
+        "ondevice_closedloop_tick_ms_b1": round(ondevice_tick_ms, 2),
+        "replan_budget_ms": 5.0,
         "horizon": ep.horizon,
         "max_iters": 10,
         "controller": "force_feedback_augmented_contact",

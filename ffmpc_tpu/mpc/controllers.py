@@ -93,6 +93,9 @@ class _MPCBase:
         self._settings_cold = FDDPSettings(
             max_iters=cold_iters if cold_iters > 0 else int(cfg.max_iters),
             use_box=bool(cfg.use_box_fddp))
+        # regularization carried across ticks (see fddp.solve reg0); reset
+        # alongside the warm start
+        self._reg_carry = float(self._settings.reg_init)
 
     # -- helpers mirroring the reference loop ------------------------------
 
@@ -268,11 +271,12 @@ class ClassicalMPC(_MPCBase):
         model = self.model
 
         @jax.jit
-        def run(t0, x0, xs_init, us_init, x_reg_ref, tau_ref):
+        def run(t0, x0, xs_init, us_init, x_reg_ref, tau_ref, reg0):
             refs_run, ref_T = build_problem_refs(
                 traj, t0, N, W.dt_ocp, x_reg_ref, tau_ref, R_des,
                 dtype=xs_init.dtype)
-            res = fddp_solve(knot, refs_run, ref_T, x0, xs_init, us_init, settings)
+            res = fddp_solve(knot, refs_run, ref_T, x0, xs_init, us_init,
+                             settings, reg0=reg0)
             if surface:
                 # predicted normal force at knot 0 (reference
                 # _extract_predicted_normal_force, crocoddyl_classical.py:905)
@@ -320,7 +324,9 @@ class ClassicalMPC(_MPCBase):
             res, fn_pred_dev = self._solve_fns[(surface_now, is_cold)](
                 jnp.asarray(t, self.dtype), jnp.asarray(x0, self.dtype),
                 jnp.asarray(xs_init, self.dtype), jnp.asarray(us_init, self.dtype),
-                jnp.asarray(x_reg_ref, self.dtype), jnp.asarray(tau_ref, self.dtype))
+                jnp.asarray(x_reg_ref, self.dtype), jnp.asarray(tau_ref, self.dtype),
+                jnp.asarray(self._reg_carry, self.dtype))
+            self._reg_carry = float(res.xreg)
             ok = bool(res.feasible) and not bool(res.diverged)
             cost = float(res.cost)
             iters = int(res.iters)
@@ -446,11 +452,12 @@ class ForceFeedbackMPC(_MPCBase):
         eps = self._policy_epsilon()
 
         @jax.jit
-        def run(t0, y0, xs_init, us_init, x_reg_ref, tau_ref):
+        def run(t0, y0, xs_init, us_init, x_reg_ref, tau_ref, reg0):
             refs_run, ref_T = build_problem_refs(
                 traj, t0, N, W.dt_ocp, x_reg_ref, tau_ref, R_des,
                 y_ref=y0, dtype=xs_init.dtype)
-            res = fddp_solve(knot, refs_run, ref_T, y0, xs_init, us_init, settings)
+            res = fddp_solve(knot, refs_run, ref_T, y0, xs_init, us_init,
+                             settings, reg0=reg0)
             if surface:
                 # interpolated next-step force prediction (reference
                 # _extract_predicted_normal_force_next_step, ff:1219-1243)
@@ -504,7 +511,9 @@ class ForceFeedbackMPC(_MPCBase):
             res, fn_pred_dev = self._solve_fns[(surface_now, is_cold)](
                 jnp.asarray(t, self.dtype), jnp.asarray(y0, self.dtype),
                 jnp.asarray(xs_init, self.dtype), jnp.asarray(us_init, self.dtype),
-                jnp.asarray(x_reg_ref, self.dtype), jnp.asarray(tau_ref, self.dtype))
+                jnp.asarray(x_reg_ref, self.dtype), jnp.asarray(tau_ref, self.dtype),
+                jnp.asarray(self._reg_carry, self.dtype))
+            self._reg_carry = float(res.xreg)
             ok = bool(res.feasible) and not bool(res.diverged)
             cost = float(res.cost)
             iters = int(res.iters)

@@ -61,14 +61,25 @@ class FDDPSettings:
     # faster than unrolling on the current backend)
     scan_unroll: int = 1
     # "sequential" (crocoddyl-style lax.scan sweep) or "parallel"
-    # (associative-scan Riccati, O(log N) depth; no-box path only — BoxFDDP's
-    # per-knot clamped QP is inherently sequential)
+    # (associative-scan Riccati, O(log N) depth).  With use_box the
+    # parallel mode runs the frozen-active-set refinement
+    # (riccati_scan.parallel_riccati_box); refinement rounds below.
     riccati_mode: str = "sequential"
+    parallel_box_refinements: int = 1
     # "batched": all n_alphas rollouts in one vmapped pass (fixed cost);
     # "while": descending-alpha while_loop, stops at the first acceptance —
     # warm-started MPC usually accepts alpha=1, cutting rollout work ~n_alphas
     # fold; under vmap(solve) the whole batch pays max-trips-over-lanes.
     linesearch_mode: str = "batched"
+    # Return the lowest-cost iterate seen instead of the last one.
+    # MEASURED NEGATIVE RESULT for MPC loops: with return_best the
+    # controller repeatedly re-executes the stale shifted plan whenever the
+    # solver can't beat the warm start within budget (closed-loop classical
+    # contact: 0.44 m RMS vs 0.009 m with the last iterate + reg carry-over)
+    # — FDDP's cost-raising gap-contraction steps are *necessary* progress,
+    # not noise.  Kept as an option for open-loop/offline solves where a
+    # never-worse-than-warm-start guarantee matters.
+    return_best: bool = False
     # NOTE on a measured negative result: scalarizing the backward-sweep
     # body (unstacking Vxx/Fx into channels, scalar GEMMs + scalar box-QP)
     # made the full solve 3x SLOWER (780 -> 247 solves/s at B=256).  The
@@ -129,6 +140,11 @@ class _Carry(NamedTuple):
     K: Any
     kff: Any
     stop: Any
+    best_xs: Any
+    best_us: Any
+    best_K: Any
+    best_kff: Any
+    best_cost: Any
 
 
 def _compute_gaps(x0, xs, xnexts):
@@ -139,8 +155,14 @@ def _compute_gaps(x0, xs, xnexts):
 
 def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
           settings: FDDPSettings = FDDPSettings(),
-          debug_history: bool = False) -> FDDPResult:
+          debug_history: bool = False, reg0=None) -> FDDPResult:
     """Solve one shooting problem.  refs_run: pytree with leading dim N.
+
+    ``reg0`` (traced scalar, optional) overrides settings.reg_init — MPC
+    loops carry the previous solve's final regularization here so a stiff
+    contact problem doesn't re-climb the whole regularization ladder every
+    tick (measured: 12 of 10 budgeted iterations wasted at reg_init=1e-9 in
+    the classical contact loop).
 
     With ``debug_history=True`` additionally returns a dict of
     (max_iters,)-shaped per-iteration telemetry arrays (accepted step
@@ -213,21 +235,29 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
 
     def backward_parallel(derivs, LxT, LxxT, fs, us, xreg, ureg, feasible):
         """O(log N)-depth backward via the associative-scan Riccati
-        (solver/riccati_scan.py); exact for the unconstrained subproblem.
-        Selected by settings.riccati_mode="parallel" (no-box only)."""
-        from .riccati_scan import parallel_riccati
+        (solver/riccati_scan.py); exact for the unconstrained subproblem,
+        frozen-active-set refinement for the box-constrained one.
+        Selected by settings.riccati_mode="parallel"."""
+        from .riccati_scan import parallel_riccati, parallel_riccati_box
         gapw = jnp.where(feasible, 0.0, 1.0)
         fs_next = gapw * fs[1:]
-        K, kff, Vx, Vxx = parallel_riccati(
-            derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
-            derivs.Lxu, derivs.Luu, fs_next, LxT, LxxT, ureg=ureg)
+        if S.use_box:
+            K, kff, Vx, Vxx, Qu, Quu = parallel_riccati_box(
+                derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
+                derivs.Lxu, derivs.Luu, fs_next, LxT, LxxT,
+                u_lb[None] - us, u_ub[None] - us, ureg=ureg,
+                boxqp_iters=S.boxqp_iters,
+                refinements=S.parallel_box_refinements)
+        else:
+            K, kff, Vx, Vxx = parallel_riccati(
+                derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
+                derivs.Lxu, derivs.Luu, fs_next, LxT, LxxT, ureg=ureg)
+            Vp = Vx[1:] + jnp.einsum("tij,tj->ti", Vxx[1:], fs_next)
+            Qu = derivs.Lu + jnp.einsum("tiu,ti->tu", derivs.Fu, Vp)
+            Quu = derivs.Luu + ureg * jnp.eye(nu, dtype=dtype)[None] + jnp.einsum(
+                "tiu,tij,tjv->tuv", derivs.Fu, Vxx[1:], derivs.Fu)
         # deflected value gradients (sequential-path convention)
         Vx_d = Vx + gapw * jnp.einsum("tij,tj->ti", Vxx, fs)
-        # Qu per knot from the deflected V'
-        Vp = Vx[1:] + jnp.einsum("tij,tj->ti", Vxx[1:], fs_next)
-        Qu = derivs.Lu + jnp.einsum("tiu,ti->tu", derivs.Fu, Vp)
-        Quu = derivs.Luu + ureg * jnp.eye(nu, dtype=dtype)[None] + jnp.einsum(
-            "tiu,tij,tjv->tuv", derivs.Fu, Vxx[1:], derivs.Fu)
         Quuk = jnp.einsum("tuv,tv->tu", Quu, kff)
         dg = jnp.sum(jnp.einsum("tu,tu->t", Qu, kff)) - jnp.sum(
             gapw * jnp.einsum("ti,ti->t", Vx_d, fs))
@@ -269,8 +299,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         feasible = c.feasible | (gap_norm < 1e-9)
 
         # backward pass with regularization retry on indefinite Quu
-        bw_fn = (backward_parallel
-                 if (S.riccati_mode == "parallel" and not S.use_box)
+        bw_fn = (backward_parallel if S.riccati_mode == "parallel"
                  else backward_store)
 
         def bw(reg_pair):
@@ -377,24 +406,40 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             "dg": dg, "dq": dq, "gap_norm": gap_norm,
             "feasible": feasible, "bw_bad": bw_bad,
         }
+        improved = cost_new < c.best_cost
+
+        def pick(new, old):
+            return jnp.where(improved, new, old)
+
         new_c = _Carry(xs=xs_new, us=us_new, cost=cost_new, feasible=feasible_new,
                        xreg=xreg_new, ureg=xreg_new, it=c.it + 1,
                        converged=converged, diverged=diverged, K=K, kff=kff,
-                       stop=stop)
+                       stop=stop,
+                       best_xs=pick(xs_new, c.best_xs),
+                       best_us=pick(us_new, c.best_us),
+                       best_K=pick(K, c.best_K),
+                       best_kff=pick(kff, c.best_kff),
+                       best_cost=pick(cost_new, c.best_cost))
         return new_c, aux
 
     def loop_cond(c: _Carry):
         return (c.it < S.max_iters) & (~c.converged) & (~c.diverged)
 
+    reg_start = (jnp.asarray(S.reg_init, dtype) if reg0 is None
+                 else jnp.clip(jnp.asarray(reg0, dtype), S.reg_min, 1e4))
     c0 = _Carry(
         xs=xs_init, us=us_init,
         cost=jnp.asarray(jnp.inf, dtype),
         feasible=jnp.asarray(False),
-        xreg=jnp.asarray(S.reg_init, dtype), ureg=jnp.asarray(S.reg_init, dtype),
+        xreg=reg_start, ureg=reg_start,
         it=jnp.int32(0),
         converged=jnp.asarray(False), diverged=jnp.asarray(False),
         K=jnp.zeros((N, nu, nx), dtype), kff=jnp.zeros((N, nu), dtype),
         stop=jnp.asarray(jnp.inf, dtype),
+        best_xs=xs_init, best_us=us_init,
+        best_K=jnp.zeros((N, nu, nx), dtype),
+        best_kff=jnp.zeros((N, nu), dtype),
+        best_cost=jnp.asarray(jnp.inf, dtype),
     )
     if debug_history:
         # fixed-trip scan collecting per-iteration telemetry (the
@@ -410,11 +455,16 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         cF = jax.lax.while_loop(lambda c: loop_cond(c), lambda c: iteration(c)[0], c0)
         history = None
 
-    # final cost of the candidate trajectory (cF.cost is inf if 0 iterations)
-    _, cost_final = total_calc(cF.xs, cF.us)
+    if S.return_best:
+        out_xs, out_us, out_K, out_k = (cF.best_xs, cF.best_us, cF.best_K,
+                                        cF.best_kff)
+    else:
+        out_xs, out_us, out_K, out_k = cF.xs, cF.us, cF.K, cF.kff
+    # final cost of the returned trajectory (carry cost is inf if 0 iterations)
+    _, cost_final = total_calc(out_xs, out_us)
 
     res = FDDPResult(
-        xs=cF.xs, us=cF.us, K=cF.K, k=cF.kff,
+        xs=out_xs, us=out_us, K=out_K, k=out_k,
         cost=cost_final, stop=cF.stop, iters=cF.it,
         converged=cF.converged, diverged=cF.diverged,
         feasible=cF.feasible, xreg=cF.xreg,

@@ -12,8 +12,14 @@ long-horizon mode called for by the project brief (SURVEY.md section 5,
 
 Scope: exact for the unconstrained (no control-bound) Gauss-Newton
 subproblem that FDDP solves each iteration around the current trajectory,
-including feasibility-gap affine terms.  BoxFDDP's clamped backward is
-inherently sequential per knot and keeps the lax.scan path.
+including feasibility-gap affine terms.  For BoxFDDP, whose clamped
+per-knot QP makes the exact backward sequential, ``parallel_riccati_box``
+runs a frozen-active-set refinement: an unconstrained parallel sweep
+proposes active sets via per-knot box-QPs (all knots concurrently), then
+the sweep repeats with clamped control components frozen as affine
+offsets.  When no bounds are active it coincides with the exact sweep in
+one pass; with active bounds it converges to the sequential active-set
+solution as refinements increase (tests pin both behaviors).
 
 Element parameterization (conditional value function between knots):
     V(x_t | x_s) realized by (A, b, C, eta, J):
@@ -63,6 +69,14 @@ def _combine(e1: _Elem, e2: _Elem) -> _Elem:
     eta = jnp.einsum("...ji,...j->...i", e1.A, Mt_inv_term) + e1.eta
     J = jnp.einsum("...ji,...jk->...ik", e1.A, Mt_inv_J2A1) + e1.J
     return _Elem(A, b, C, eta, J)
+
+
+def _suffix_scan(elems: _Elem) -> _Elem:
+    """Reverse associative scan: result[t] spans [t, N].  With reverse=True
+    jax feeds operands as (later, earlier), so flip them into _combine's
+    (earlier, later) convention."""
+    return jax.lax.associative_scan(lambda a, b: _combine(b, a), elems,
+                                    reverse=True)
 
 
 def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
@@ -116,11 +130,7 @@ def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
         J=jnp.concatenate([J, J_T], axis=0),
     )
 
-    # suffix combine (reverse): result[t] spans [t, N].  With reverse=True
-    # jax feeds operands as (later, earlier), so flip them into _combine's
-    # (earlier, later) convention.
-    acc = jax.lax.associative_scan(lambda a, b: _combine(b, a), elems,
-                                   reverse=True)
+    acc = _suffix_scan(elems)
     Vx = -acc.eta          # (N+1, nx): gradient of value at each knot
     Vxx = acc.J            # (N+1, nx, nx)
 
@@ -136,3 +146,95 @@ def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
     K = jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))(
         Quu_chol, jnp.swapaxes(Qxu, -1, -2))
     return K, k, Vx, Vxx
+
+
+def parallel_riccati_box(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
+                         lb, ub, ureg: float = 0.0, boxqp_iters: int = 8,
+                         refinements: int = 1):
+    """Box-constrained parallel backward: frozen-active-set refinement.
+
+    lb/ub: per-knot (N, nu) control bounds RELATIVE to the nominal control
+    (the box-QP solves for the control delta, as in the sequential BoxFDDP
+    backward).  Returns (K, kff, Vx, Vxx, Qu, Quu) with the sequential-path
+    conventions (u_try = u_nom - alpha*kff - K dx; K rows of clamped
+    components are zero).
+
+    Each refinement round: (1) parallel value sweep with the currently
+    clamped control components frozen as affine offsets, (2) per-knot
+    box-QPs against the resulting local quadratics — all N knots run their
+    QPs concurrently, which is what makes the backward parallelizable at
+    all.  Round 0 starts all-free, so bound-free problems finish exactly in
+    one round.
+    """
+    from .boxqp import boxqp, _masked_solve
+
+    N, nx = Fx.shape[0], Fx.shape[-1]
+    nu = Fu.shape[-1]
+    dtype = Fx.dtype
+    eyeu = jnp.eye(nu, dtype=dtype)
+    Luu_r = Luu + ureg * eyeu
+
+    vs_vec = jax.vmap(_masked_solve, in_axes=(0, 0, 0, None))
+
+    A_T = jnp.zeros((1, nx, nx), dtype)
+    b_T = jnp.zeros((1, nx), dtype)
+    C_T = jnp.zeros((1, nx, nx), dtype)
+    eta_T = -LxT[None]
+    J_T = LxxT[None]
+
+    def sweep(m, s):
+        """One masked parallel value sweep.
+
+        m: (N, nu) free mask; s: (N, nu) frozen control delta on clamped
+        components (zero on free ones).
+        """
+        Lu_eff = Lu + jnp.einsum("tuv,tv->tu", Luu_r, s)
+        Lx_eff = Lx + jnp.einsum("tiu,tu->ti", Lxu, s)
+        fs_eff = fs_next + jnp.einsum("tiu,tu->ti", Fu, s)
+
+        iLu = vs_vec(Luu_r, Lu_eff, m, 1e-12)                    # (N, nu)
+        iLxu = vs_vec(Luu_r, jnp.swapaxes(Lxu, -1, -2), m, 1e-12)  # (N, nu, nx)
+        iFu = vs_vec(Luu_r, jnp.swapaxes(Fu, -1, -2), m, 1e-12)    # (N, nu, nx)
+
+        A = Fx - jnp.einsum("tiu,tuj->tij", Fu, iLxu)
+        b = fs_eff - jnp.einsum("tiu,tu->ti", Fu, iLu)
+        C = jnp.einsum("tiu,tuj->tij", Fu, iFu)
+        eta = -(Lx_eff - jnp.einsum("tiu,tu->ti", Lxu, iLu))
+        J = Lxx - jnp.einsum("tiu,tuj->tij", Lxu, iLxu)
+
+        elems = _Elem(
+            A=jnp.concatenate([A, A_T], axis=0),
+            b=jnp.concatenate([b, b_T], axis=0),
+            C=jnp.concatenate([C, C_T], axis=0),
+            eta=jnp.concatenate([eta, eta_T], axis=0),
+            J=jnp.concatenate([J, J_T], axis=0),
+        )
+        acc = _suffix_scan(elems)
+        return -acc.eta, acc.J            # Vx, Vxx at all N+1 knots
+
+    def local_qp(Vx, Vxx, x0):
+        """Per-knot box-QP against the (gap-deflected) V' quadratics."""
+        Vx1 = Vx[1:] + jnp.einsum("tij,tj->ti", Vxx[1:], fs_next)
+        Qu = Lu + jnp.einsum("tiu,ti->tu", Fu, Vx1)
+        Qxu = Lxu + jnp.einsum("tik,tkl,tlu->tiu",
+                               jnp.swapaxes(Fx, -1, -2), Vxx[1:], Fu)
+        Quu = Luu_r + jnp.einsum("tiu,tij,tjv->tuv", Fu, Vxx[1:], Fu)
+        sol = jax.vmap(lambda Q, q, l, u, x: boxqp(Q, q, l, u, x,
+                                                   iters=boxqp_iters))(
+            Quu, Qu, lb, ub, x0)
+        return sol, Qu, Qxu, Quu
+
+    m = jnp.ones((N, nu), bool)
+    s = jnp.zeros((N, nu), dtype)
+    x_prev = jnp.zeros((N, nu), dtype)
+    for _ in range(refinements + 1):
+        Vx, Vxx = sweep(m, s)
+        sol, Qu, Qxu, Quu = local_qp(Vx, Vxx, x_prev)
+        m = sol.free
+        s = jnp.where(m, 0.0, sol.x)
+        x_prev = sol.x
+
+    kff = -sol.x
+    K = vs_vec(Quu, jnp.swapaxes(Qxu, -1, -2)
+               * m.astype(dtype)[:, :, None], m, 1e-12)
+    return K, kff, Vx, Vxx, Qu, Quu
