@@ -1,0 +1,120 @@
+"""Knot-axis (horizon) sharded Riccati backward sweep.
+
+The sequence-parallel mode named by BASELINE.md ("per-knot Riccati/QP
+blocks reduced via ICI collectives"): the associative-scan Riccati
+(solver/riccati_scan.py) distributed over a device mesh axis that shards
+the KNOT dimension.  Each device runs the suffix scan over its local chunk
+of knots, the per-chunk aggregate elements are exchanged with one
+``all_gather`` (P elements of ~3 nx^2 floats — trivial ICI traffic), every
+device folds in the aggregates of the chunks after it, and local prefixes
+are patched.  Depth: O(log n_local) + O(P) tiny combines instead of O(N)
+sequential knot steps.
+
+This is the distributed counterpart of ``parallel_riccati`` — exact for the
+unconstrained Gauss-Newton subproblem including feasibility-gap affine
+terms; tests pin sharded == single-device to float tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.riccati_scan import _Elem, _combine, _suffix_scan
+
+
+def _identity_elem(nx: int, n: int, dtype) -> _Elem:
+    I = jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (n, nx, nx))
+    Z = jnp.zeros((n, nx, nx), dtype)
+    z = jnp.zeros((n, nx), dtype)
+    return _Elem(A=I, b=z, C=Z, eta=z, J=Z)
+
+
+def _leaves(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, ureg):
+    """Per-knot conditional-value elements (u eliminated); local math."""
+    nu = Fu.shape[-1]
+    Luu_r = Luu + ureg * jnp.eye(nu, dtype=Fx.dtype)
+    Luu_chol = jnp.linalg.cholesky(Luu_r)
+    solve_u = jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))
+    iLu = solve_u(Luu_chol, Lu)
+    iLxu = solve_u(Luu_chol, jnp.swapaxes(Lxu, -1, -2))
+    iFu = solve_u(Luu_chol, jnp.swapaxes(Fu, -1, -2))
+    A = Fx - jnp.einsum("tiu,tuj->tij", Fu, iLxu)
+    b = fs_next - jnp.einsum("tiu,tu->ti", Fu, iLu)
+    C = jnp.einsum("tiu,tuj->tij", Fu, iFu)
+    eta = -(Lx - jnp.einsum("tiu,tu->ti", Lxu, iLu))
+    J = Lxx - jnp.einsum("tiu,tuj->tij", Lxu, iLxu)
+    return _Elem(A, b, C, eta, J)
+
+
+def knot_sharded_riccati(mesh: Mesh, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu,
+                         fs_next, LxT, LxxT, ureg: float = 0.0,
+                         axis: str = "knot"):
+    """Distributed-backward gains: returns (K, kff), knot-sharded.
+
+    Inputs: per-knot arrays with leading dim N (divisible by the mesh axis
+    size), terminal (LxT, LxxT) replicated.  Call from the host; shard_map
+    and the collective layout live inside.
+    """
+    nproc = mesh.shape[axis]
+    N, nx = Fx.shape[0], Fx.shape[-1]
+    assert N % nproc == 0, (N, nproc)
+    dtype = Fx.dtype
+
+    sh_knot = NamedSharding(mesh, P(axis))
+    sh_rep = NamedSharding(mesh, P())
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis),) * 8 + (P(), P()),
+             out_specs=(P(axis), P(axis)))
+    def run(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT):
+        n_local = Fx.shape[0]
+        elems = _leaves(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, ureg)
+        local = _suffix_scan(elems)                 # local[k] spans [k, b)
+        chunk_total = jax.tree.map(lambda a: a[0], local)
+
+        # exchange per-chunk aggregates; fold in every chunk after mine,
+        # then the terminal element
+        totals = jax.lax.all_gather(chunk_total, axis)   # (P, ...)
+        idx = jax.lax.axis_index(axis)
+        acc = jax.tree.map(lambda a: a[0], _identity_elem(nx, 1, dtype))
+        for j in range(1, nproc):
+            t_j = jax.tree.map(lambda a: a[j], totals)
+            folded = _combine(acc, t_j)
+            take = j > idx
+            acc = jax.tree.map(
+                lambda f, a: jnp.where(take, f, a), folded, acc)
+        e_T = _Elem(A=jnp.zeros((nx, nx), dtype), b=jnp.zeros(nx, dtype),
+                    C=jnp.zeros((nx, nx), dtype), eta=-LxT, J=LxxT)
+        suffix_after = _combine(acc, e_T)            # spans [b, N]
+
+        # patch local suffixes: full[k] spans [k, N]
+        full = jax.vmap(lambda e: _combine(e, suffix_after))(local)
+        Vx_loc = -full.eta                           # V at local knots
+        Vxx_loc = full.J
+        # V at knot k+1: shift; the last local knot's successor is the
+        # suffix aggregate itself
+        Vx1 = jnp.concatenate([Vx_loc[1:], (-suffix_after.eta)[None]], axis=0)
+        Vxx1 = jnp.concatenate([Vxx_loc[1:], suffix_after.J[None]], axis=0)
+
+        nu = Fu.shape[-1]
+        Qu = Lu + jnp.einsum("tiu,ti->tu", Fu,
+                             Vx1 + jnp.einsum("tij,tj->ti", Vxx1, fs_next))
+        Qxu = Lxu + jnp.einsum("tik,tkl,tlu->tiu",
+                               jnp.swapaxes(Fx, -1, -2), Vxx1, Fu)
+        Quu = (Luu + ureg * jnp.eye(nu, dtype=dtype)[None]
+               + jnp.einsum("tiu,tij,tjv->tuv", Fu, Vxx1, Fu))
+        ch = jnp.linalg.cholesky(Quu)
+        k = jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))(ch, Qu)
+        K = jax.vmap(lambda L, r: jax.scipy.linalg.cho_solve((L, True), r))(
+            ch, jnp.swapaxes(Qxu, -1, -2))
+        return K, k
+
+    put = lambda a: jax.device_put(a, sh_knot)
+    rep = lambda a: jax.device_put(a, sh_rep)
+    return run(put(Fx), put(Fu), put(Lx), put(Lu), put(Lxx), put(Lxu),
+               put(Luu), put(fs_next), rep(LxT), rep(LxxT))

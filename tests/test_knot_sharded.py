@@ -1,0 +1,85 @@
+"""Knot-axis sharded Riccati == single-device parallel Riccati, on an
+8-virtual-device CPU mesh (the horizon/sequence-parallel BASELINE leg)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ffmpc_tpu.solver.riccati_scan import parallel_riccati
+
+
+def _rand_problem(N, nx, nu, seed=0, dtype=jnp.float64):
+    r = np.random.default_rng(seed)
+    Fx = jnp.asarray(np.eye(nx) + 0.01 * r.normal(size=(N, nx, nx)), dtype)
+    Fu = jnp.asarray(0.1 * r.normal(size=(N, nx, nu)), dtype)
+    Lx = jnp.asarray(r.normal(size=(N, nx)), dtype)
+    Lu = jnp.asarray(r.normal(size=(N, nu)), dtype)
+
+    def spd(n, scale):
+        X = r.normal(size=(N, n, n))
+        return jnp.asarray(scale * (X @ np.swapaxes(X, -1, -2)) / n
+                           + np.eye(n), dtype)
+
+    Lxx = spd(nx, 1.0)
+    Luu = spd(nu, 1.0)
+    Lxu = jnp.asarray(0.05 * r.normal(size=(N, nx, nu)), dtype)
+    fs_next = jnp.asarray(0.01 * r.normal(size=(N, nx)), dtype)
+    LxT = jnp.asarray(r.normal(size=(nx,)), dtype)
+    X = r.normal(size=(nx, nx))
+    LxxT = jnp.asarray(X @ X.T / nx + np.eye(nx), dtype)
+    return Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_knot_sharded_matches_single_device(ndev):
+    if len(jax.devices("cpu")) < ndev:
+        pytest.skip("need virtual device mesh")
+    from ffmpc_tpu.parallel.knot_sharded import knot_sharded_riccati
+    N, nx, nu = 40, 14, 7
+    prob = _rand_problem(N, nx, nu, seed=3)
+    K_ref, k_ref, _, _ = parallel_riccati(*prob, ureg=1e-9)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices("cpu")[:ndev]), ("knot",))
+    K_sh, k_sh = knot_sharded_riccati(mesh, *prob, ureg=1e-9)
+    assert np.allclose(np.asarray(K_sh), np.asarray(K_ref), atol=1e-8), \
+        np.abs(np.asarray(K_sh) - np.asarray(K_ref)).max()
+    assert np.allclose(np.asarray(k_sh), np.asarray(k_ref), atol=1e-8)
+
+
+def test_knot_sharded_panda_problem():
+    """Sharded gains on a real Panda free-space GN subproblem."""
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("need virtual device mesh")
+    from ffmpc_tpu.parallel.knot_sharded import knot_sharded_riccati
+    from ffmpc_tpu.core import make_panda_model, KEYFRAMES, gravity_torque
+    from ffmpc_tpu.ocp.weights import OCPWeights
+    from ffmpc_tpu.ocp.action import make_classical_knot
+    from ffmpc_tpu.ocp.problem import build_problem_refs
+    from ffmpc_tpu.tasks.trajectories import ApproachCircleTraj
+
+    model = make_panda_model("plant", dtype=jnp.float64)
+    W = OCPWeights(dt_ocp=0.01, w_ee_pos=1.2e3)
+    knot = make_classical_knot(model, W, surface=False)
+    traj = ApproachCircleTraj(center=(-0.5, 0.0, 0.36), radius=0.10,
+                              omega=1.5, z_contact=0.36, t_approach=0.55,
+                              t_pre=0.25, ee_start=(-0.3, 0.0, 0.633))
+    q0 = jnp.asarray(KEYFRAMES["neutral"])
+    x0 = jnp.concatenate([q0, jnp.zeros(7)])
+    tau_g = gravity_torque(model, q0)
+    R_des = jnp.asarray(np.diag([1.0, -1.0, -1.0]))
+    N = 40
+    refs_run, ref_T = build_problem_refs(
+        traj, 0.0, N, W.dt_ocp, x0, tau_g, R_des, dtype=jnp.float64)
+    xs = jnp.tile(x0, (N + 1, 1))
+    us = jnp.tile(tau_g, (N, 1))
+    derivs = jax.vmap(knot.diff)(refs_run, xs[:-1], us)
+    _, LxT, LxxT = knot.term_diff(ref_T, xs[-1])
+    fs_next = derivs.xnext - xs[1:]
+
+    args = (derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
+            derivs.Lxu, derivs.Luu, fs_next, LxT, LxxT)
+    K_ref, k_ref, _, _ = parallel_riccati(*args, ureg=1e-9)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices("cpu")[:8]), ("knot",))
+    K_sh, k_sh = knot_sharded_riccati(mesh, *args, ureg=1e-9)
+    assert np.allclose(np.asarray(K_sh), np.asarray(K_ref), atol=1e-7)
+    assert np.allclose(np.asarray(k_sh), np.asarray(k_ref), atol=1e-7)
