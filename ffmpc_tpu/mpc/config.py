@@ -112,6 +112,17 @@ class ClassicalMPCConfig:
     solve_reject_factor: float = 50.0
     max_bad_solves: int = 40
 
+    # Warm-start shift style: "consistent" shifts states AND controls one
+    # knot (gaps stay at one-step prediction error); "reference" mirrors
+    # the reference _shift_guess (crocoddyl_classical.py:733-757): controls
+    # shift, states keep their old positions (manufactures O(1) gaps).
+    # Used by the parity harness to measure PARITY.md deviation 2.
+    warmstart_shift: str = "consistent"
+    # Run the solver with Crocoddyl's exact acceptance/stopping semantics
+    # (FDDPSettings.crocoddyl_semantics) — parity harness toggle for
+    # PARITY.md deviation 3.
+    crocoddyl_solver_semantics: bool = False
+
     # Keep the warm start across free<->contact mode switches (the knot
     # state space is identical; the incumbent smooth plan is a far better
     # initialization than the reference's cold reset

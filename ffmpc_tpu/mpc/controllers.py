@@ -85,14 +85,16 @@ class _MPCBase:
                                 "surface_mode": False, "unstable": False,
                                 "fn_pred": np.nan}
 
+        croco = bool(getattr(cfg, "crocoddyl_solver_semantics", False))
         self._settings = FDDPSettings(
-            max_iters=int(cfg.max_iters), use_box=bool(cfg.use_box_fddp))
+            max_iters=int(cfg.max_iters), use_box=bool(cfg.use_box_fddp),
+            crocoddyl_semantics=croco)
         # Cold starts (init / mode switch / divergence reset) may get their
         # own budget (see config note: bigger is not automatically better).
         cold_iters = int(getattr(cfg, "cold_start_iters", 0))
         self._settings_cold = FDDPSettings(
             max_iters=cold_iters if cold_iters > 0 else int(cfg.max_iters),
-            use_box=bool(cfg.use_box_fddp))
+            use_box=bool(cfg.use_box_fddp), crocoddyl_semantics=croco)
         # regularization carried across ticks (see fddp.solve reg0); reset
         # alongside the warm start
         self._reg_carry = float(self._settings.reg_init)
@@ -179,6 +181,18 @@ class _MPCBase:
             us = np.tile(u_hold, (N, 1))
             return xs, us
         xs_prev, us_prev = self.xs, self.us
+        if str(getattr(self.cfg, "warmstart_shift", "consistent")) == "reference":
+            # reference semantics: xs = [x0] + xs_prev[1:], us shifted
+            xs = np.empty((N + 1, x0.shape[0]))
+            xs[0] = x0
+            n_keep = min(len(xs_prev) - 1, N)
+            xs[1:1 + n_keep] = xs_prev[1:1 + n_keep]
+            xs[1 + n_keep:] = xs_prev[-1]
+            us = np.empty((N, us_prev.shape[1]))
+            n_u = min(len(us_prev) - 1, N)
+            us[:n_u] = us_prev[1:1 + n_u]
+            us[n_u:] = us_prev[-1]
+            return xs, us
         xs = np.empty((N + 1, x0.shape[0]))
         xs[0] = x0
         n_tail = min(len(xs_prev) - 2, N)

@@ -109,16 +109,17 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
     eps_pol = float(np.clip(ep.dt_mpc / W.dt_ocp, 0.0, 1.0))
     alpha = ep.ff_alpha_ocp
 
-    def solve_mode(knot, t, x0, xs_w, us_w, tau_ref):
+    def solve_mode(knot, t, x0, xs_w, us_w, tau_ref, reg0):
         refs_run, ref_T = build_problem_refs(
             traj, t, N, W.dt_ocp, x_reg_nom if ep.posture_ref_q_nom else x0[:14],
             tau_ref, R_des, y_ref=(x0 if is_ff else None), dtype=dtype)
-        return fddp_solve(knot, refs_run, ref_T, x0, xs_w, us_w, settings)
+        return fddp_solve(knot, refs_run, ref_T, x0, xs_w, us_w, settings,
+                          reg0=reg0)
 
     unc = uncertainty
 
     def tick(carry, t):
-        plant, xs_w, us_w, tau_prev = carry
+        plant, xs_w, us_w, tau_prev, reg = carry
         q, v = plant.q, plant.v
         if unc is not None:
             key = jax.random.fold_in(jax.random.PRNGKey(unc.seed),
@@ -143,9 +144,13 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
         _, _, surf = traj(t)
         res = jax.lax.cond(
             surf,
-            lambda: solve_mode(knot_contact, t, x0, xs_init, us_init, tau_ref),
-            lambda: solve_mode(knot_free, t, x0, xs_init, us_init, tau_ref),
+            lambda: solve_mode(knot_contact, t, x0, xs_init, us_init, tau_ref, reg),
+            lambda: solve_mode(knot_free, t, x0, xs_init, us_init, tau_ref, reg),
         )
+        # regularization carry across ticks (same fix as the host
+        # controllers: avoids re-climbing the reg ladder on the stiff
+        # contact problem every solve)
+        reg_next = jnp.clip(res.xreg, settings.reg_min, 1e4)
 
         if is_ff:
             tau0 = res.xs[0, 14:21]
@@ -192,12 +197,12 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
             "ee_pos": obs.ee_pos,
             "q": obs.q,
         }
-        return (plant_new, res.xs, res.us, tau_cmd), telem
+        return (plant_new, res.xs, res.us, tau_cmd, reg_next), telem
 
     def plant_bias(q, v):
         return gravity_torque(model, q) - 5.0 * v
 
-    def episode(q0):
+    def episode_init(q0):
         q0 = jnp.asarray(q0, dtype)
         plant0 = init_plant_state(q0, dtype=dtype)
         tau_g = gravity_torque(model, q0)
@@ -207,10 +212,23 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
             x0 = jnp.concatenate([q0, jnp.zeros(7, dtype)])
         xs0 = jnp.tile(x0, (N + 1, 1))
         us0 = jnp.tile(tau_g, (N, 1))
-        ts = jnp.arange(ep.n_ticks, dtype=dtype) * ep.dt_mpc
-        _, telem = jax.lax.scan(tick, (plant0, xs0, us0, tau_g), ts)
+        reg0 = jnp.asarray(settings.reg_init, dtype)
+        return (plant0, xs0, us0, tau_g, reg0)
+
+    def episode_chunk(carry, t0, n_ticks):
+        """Advance n_ticks (static) from time t0; for chunked long
+        episodes that must fit the device execution window, with host
+        checkpointing between chunks (utils/checkpoint.py)."""
+        ts = t0 + jnp.arange(n_ticks, dtype=dtype) * ep.dt_mpc
+        return jax.lax.scan(tick, carry, ts)
+
+    def episode(q0):
+        _, telem = episode_chunk(episode_init(q0),
+                                 jnp.asarray(0.0, dtype), ep.n_ticks)
         return telem
 
+    episode.init = episode_init
+    episode.chunk = episode_chunk
     return episode
 
 

@@ -24,7 +24,8 @@ def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
                  batch: int = 512, ticks: int = 400, horizon: int = 40,
                  max_iters: int = 10, seed: int = 0, perturb_q: float = 0.01,
                  n_devices: int | None = None, dtype_name: str = "float32",
-                 checkpoint_path: str | None = None, verbose: bool = True):
+                 checkpoint_path: str | None = None, verbose: bool = True,
+                 chunk_ticks: int | None = None):
     import jax
     import jax.numpy as jnp
     from ..core import make_panda_model, KEYFRAMES
@@ -84,19 +85,53 @@ def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
         devices = jax.devices("cpu")
     mesh = make_dp_mesh(n_devices, devices=devices)
     bs = shard_batch(mesh)
-    run = jax.jit(jax.vmap(episode), in_shardings=bs, out_shardings=bs)
 
     rng = np.random.default_rng(seed)
     q0s = (q0[None] + perturb_q * rng.normal(size=(batch, 7))).astype(
         np.float32 if dtype_name == "float32" else np.float64)
     q0s_dev = jax.device_put(jnp.asarray(q0s), bs)
 
-    telem = run(q0s_dev)            # compile + warm
-    jax.block_until_ready(telem)
-    t0 = time.perf_counter()
-    telem = run(q0s_dev)
-    jax.block_until_ready(telem)
-    wall = time.perf_counter() - t0
+    if chunk_ticks is None or chunk_ticks >= ticks:
+        run = jax.jit(jax.vmap(episode), in_shardings=bs, out_shardings=bs)
+        telem = run(q0s_dev)            # compile + warm
+        jax.block_until_ready(telem)
+        t0 = time.perf_counter()
+        telem = run(q0s_dev)
+        jax.block_until_ready(telem)
+        wall = time.perf_counter() - t0
+    else:
+        # Chunked execution: one device call per chunk_ticks so a long
+        # episode never exceeds the device execution window; the episode
+        # carry (plant + warm start + reg) round-trips as sharded device
+        # arrays, and each completed chunk can checkpoint to host.
+        n_chunks = (ticks + chunk_ticks - 1) // chunk_ticks
+        init = jax.jit(jax.vmap(episode.init),
+                       in_shardings=bs, out_shardings=bs)
+        step = jax.jit(
+            jax.vmap(lambda c, t: episode.chunk(c, t, chunk_ticks),
+                     in_axes=(0, None)),
+            in_shardings=(bs, None), out_shardings=bs)
+        carry = init(q0s_dev)
+        jax.block_until_ready(carry)
+        parts = []
+        wall = 0.0
+        for ci in range(n_chunks):
+            t_start = jnp.asarray(ci * chunk_ticks * 0.005, dtype)
+            t0 = time.perf_counter()
+            carry, tl = step(carry, t_start)
+            jax.block_until_ready(tl)
+            wall += time.perf_counter() - t0
+            parts.append(jax.tree.map(np.asarray, tl))
+            if checkpoint_path:
+                save_checkpoint(f"{checkpoint_path}.chunk{ci:03d}", tl,
+                                meta={"chunk": ci, "t_start": float(t_start)})
+            if verbose:
+                print(f"chunk {ci + 1}/{n_chunks}: "
+                      f"{chunk_ticks * batch / (time.perf_counter() - t0):.0f} "
+                      "solves/s")
+        telem = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *parts)
+        telem = {k: v[:, :ticks] for k, v in telem.items()}
 
     err = np.asarray(telem["err_tan"])      # (B, ticks)
     fn = np.asarray(telem["fn_meas"])
@@ -132,11 +167,15 @@ def main(argv=None):
     ap.add_argument("--n-devices", type=int, default=None)
     ap.add_argument("--dtype", choices=("float32", "float64"), default="float32")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--chunk-ticks", type=int, default=None,
+                    help="Split the episode into device calls of this many "
+                         "ticks (execution-window-safe long runs).")
     a = ap.parse_args(argv)
     run_ensemble(controller=a.controller, scenario=a.scenario, batch=a.batch,
                  ticks=a.ticks, horizon=a.horizon, max_iters=a.max_iters,
                  seed=a.seed, perturb_q=a.perturb_q, n_devices=a.n_devices,
-                 dtype_name=a.dtype, checkpoint_path=a.checkpoint)
+                 dtype_name=a.dtype, checkpoint_path=a.checkpoint,
+                 chunk_ticks=a.chunk_ticks)
 
 
 if __name__ == "__main__":

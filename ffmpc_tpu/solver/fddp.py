@@ -71,6 +71,12 @@ class FDDPSettings:
     # warm-started MPC usually accepts alpha=1, cutting rollout work ~n_alphas
     # fold; under vmap(solve) the whole batch pays max-trips-over-lanes.
     linesearch_mode: str = "batched"
+    # Reproduce Crocoddyl's exact acceptance/stopping semantics: the
+    # unbounded negative-improvement (gap-contraction) acceptance and
+    # th_grad as a post-acceptance STOP criterion instead of an acceptance
+    # clause.  Used by the parity harness to measure the cost of our
+    # robustness clamps (PARITY.md deviations 3-5) rather than assert it.
+    crocoddyl_semantics: bool = False
     # Return the lowest-cost iterate seen instead of the last one.
     # MEASURED NEGATIVE RESULT for MPC loops: with return_best the
     # controller repeatedly re-executes the stale shifted plan whenever the
@@ -337,6 +343,12 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             d2 = dq - 2.0 * dv
             dVexp = alpha * (d1 + 0.5 * alpha * d2)
             finite = jnp.isfinite(cost_try)
+            if S.crocoddyl_semantics:
+                # SolverFDDP::solve acceptance, verbatim: Goldstein on the
+                # gap-corrected model, cost increases unbounded.
+                ok_pos = (dVexp >= 0) & (dV > S.th_acceptstep * dVexp)
+                ok_neg = (dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
+                return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg), d1
             cost_guard = S.neg_step_cost_factor * cost_cur + S.neg_step_cost_slack
             # The th_grad escape hatch means "expected gradient negligible,
             # accept to avoid stalling".  Crocoddyl tests d1 < th_grad, which
@@ -358,7 +370,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             # magnitude: bound each accepted increase multiplicatively.
             ok_neg = ((dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
                       & (cost_try < cost_guard))
-            return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg)
+            return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg), d1
 
         if S.linesearch_mode == "while":
             def ls_cond(st):
@@ -366,26 +378,29 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                 return (~ok) & (idx < S.n_alphas)
 
             def ls_body(st):
-                idx, _, xs_a, us_a, cost_a, alpha_a = st
+                idx, _, xs_a, us_a, cost_a, alpha_a, d1_a = st
                 alpha = alphas[idx]
-                xs_t, us_t, cost_t, ok = try_alpha(alpha)
+                xs_t, us_t, cost_t, ok, d1_t = try_alpha(alpha)
                 return (idx + 1, ok,
                         jnp.where(ok, xs_t, xs_a), jnp.where(ok, us_t, us_a),
                         jnp.where(ok, cost_t, cost_a),
-                        jnp.where(ok, alpha, alpha_a))
+                        jnp.where(ok, alpha, alpha_a),
+                        jnp.where(ok, d1_t, d1_a))
 
             st0 = (jnp.int32(0), jnp.asarray(False),
-                   c.xs, c.us, cost_cur, alphas[-1])
-            _, accepted, xs_try, us_try, cost_try, alpha_f = jax.lax.while_loop(
-                ls_cond, ls_body, st0)
+                   c.xs, c.us, cost_cur, alphas[-1],
+                   jnp.asarray(jnp.inf, dtype))
+            _, accepted, xs_try, us_try, cost_try, alpha_f, d1_sel = \
+                jax.lax.while_loop(ls_cond, ls_body, st0)
         else:
-            xs_tries, us_tries, cost_tries, ok_flags = jax.vmap(try_alpha)(alphas)
+            xs_tries, us_tries, cost_tries, ok_flags, d1s = jax.vmap(try_alpha)(alphas)
             accepted = jnp.any(ok_flags)
             sel = jnp.argmax(ok_flags)        # first True == largest alpha
             xs_try = xs_tries[sel]
             us_try = us_tries[sel]
             cost_try = cost_tries[sel]
             alpha_f = alphas[sel]
+            d1_sel = d1s[sel]
 
         xs_new = jnp.where(accepted, xs_try, c.xs)
         us_new = jnp.where(accepted, us_try, c.us)
@@ -399,6 +414,9 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         xreg_new = jnp.where(inc, jnp.minimum(xreg_new * S.reg_inc, S.reg_max), xreg_new)
         diverged = (inc & (xreg >= S.reg_max)) | bw_bad & (xreg >= S.reg_max)
         converged = feasible_new & (stop < S.th_stop)
+        if S.crocoddyl_semantics:
+            # Crocoddyl stops when the expected gradient is negligible
+            converged = converged | (accepted & (jnp.abs(d1_sel) < S.th_grad))
 
         aux = {
             "cost_cur": cost_cur, "cost_try": cost_try, "accepted": accepted,

@@ -40,6 +40,12 @@ def _load() -> ctypes.CDLL:
     lib.ffmpc_logger_drain.argtypes = [ctypes.c_void_p, dp, ctypes.c_uint64]
     lib.ffmpc_logger_dropped.restype = ctypes.c_uint64
     lib.ffmpc_logger_dropped.argtypes = [ctypes.c_void_p]
+    ci = ctypes.c_int
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.ffmpc_oracle_knot_calc.argtypes = [dp, dp, dp, dp, dp, ci, ci, dp, dp,
+                                           dp, dp]
+    lib.ffmpc_oracle_solve.argtypes = [dp, dp, ip, dp, dp, dp, ci, dp, dp, dp,
+                                       ci, ci, dp, dp, dp, ip]
     _lib = lib
     return lib
 
@@ -116,3 +122,70 @@ class NativeRingLogger:
             self.close()
         except Exception:
             pass
+
+
+# ---- independent C++ BoxFDDP oracle (native/ffmpc_oracle.cpp) ------------
+
+_ORACLE_W_KEYS = (
+    "dt_ocp w_posture w_v w_q_soft_limits q_soft_limit_margin w_ee_ori "
+    "w_wdamp w_tau w_tau_soft_limits tau_soft_limit_margin w_ee_pos "
+    "w_tangent_pos w_tangent_vel w_plane_z w_vz w_unilateral friction_margin "
+    "w_fn fn_des z_press contact_kp contact_kd contact_inv_damping").split()
+
+
+def oracle_weights_flat(W, model) -> np.ndarray:
+    """Flatten an OCPWeights + model limits into the oracle ABI layout."""
+    vals = [W.dt_ocp, W.w_posture, W.w_v, W.w_q_soft_limits,
+            W.q_soft_limit_margin, W.w_ee_ori, W.w_wdamp, W.w_tau,
+            W.w_tau_soft_limits, W.tau_soft_limit_margin, W.w_ee_pos,
+            W.w_tangent_pos, W.w_tangent_vel, W.w_plane_z, W.w_vz,
+            W.w_unilateral, W.friction_margin, W.w_fn, W.fn_des, W.z_press,
+            W.contact_gains[0], W.contact_gains[1], W.contact_inv_damping]
+    vals += list(W.v_damp_weights)
+    vals += list(W.ori_weights)
+    vals += list(W.w_wdamp_weights)
+    vals += list(W.ee_pos_weights)
+    vals += list(W.tau_limits)
+    vals += list(np.asarray(model.q_lower, dtype=float))
+    vals += list(np.asarray(model.q_upper, dtype=float))
+    return np.asarray(vals, dtype=np.float64)
+
+
+def oracle_knot_calc(w_flat, ref_pv, x_reg_ref, tau_ref, R_des, surface,
+                     terminal, x, u=None):
+    lib = _load()
+    cc = np.ascontiguousarray
+    xnext = np.zeros(14)
+    cost = np.zeros(1)
+    u = np.zeros(7) if u is None else u
+    lib.ffmpc_oracle_knot_calc(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(ref_pv, dtype=np.float64)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), int(surface), int(terminal),
+        _p(cc(x, dtype=np.float64)), _p(cc(u, dtype=np.float64)),
+        _p(xnext), _p(cost))
+    return xnext, float(cost[0])
+
+
+def oracle_solve(w_flat, pv, surface, x_reg_ref, tau_ref, R_des, x0, xs_init,
+                 us_init, max_iters=10, use_box=True):
+    """Full independent BoxFDDP solve.  pv: (N+1, 6); surface: (N,) bools."""
+    import ctypes
+    lib = _load()
+    cc = np.ascontiguousarray
+    N = len(surface)
+    surf = np.ascontiguousarray(np.asarray(surface, dtype=np.int32))
+    xs_out = np.zeros((N + 1, 14))
+    us_out = np.zeros((N, 7))
+    cost = np.zeros(1)
+    iters = np.zeros(1, dtype=np.int32)
+    lib.ffmpc_oracle_solve(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(pv, dtype=np.float64)),
+        surf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), N,
+        _p(cc(x0, dtype=np.float64)), _p(cc(xs_init, dtype=np.float64)),
+        _p(cc(us_init, dtype=np.float64)), int(max_iters), int(use_box),
+        _p(xs_out), _p(us_out), _p(cost),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return xs_out, us_out, float(cost[0]), int(iters[0])

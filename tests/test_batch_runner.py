@@ -57,3 +57,23 @@ def test_episode_with_uncertainty(setup):
     clean = jax.jit(make_episode_fn(model, W, settings, traj, table, ep,
                                     q0, dtype=dtype))(jnp.asarray(q0, dtype))
     assert not np.allclose(np.asarray(telem["q"]), np.asarray(clean["q"]))
+
+
+def test_chunked_episode_matches_single_scan(setup):
+    """episode.init + two episode.chunk calls == one full-episode scan."""
+    dtype, model, W, settings, traj, table, q0 = setup
+    ep = EpisodeConfig(controller="force_feedback", horizon=4, n_ticks=4,
+                       ff_alpha_ocp=0.2, ff_alpha_ctrl=0.45)
+    episode = make_episode_fn(model, W, settings, traj, table, ep, q0,
+                              dtype=dtype)
+    q0j = jnp.asarray(q0, dtype)
+    full = jax.jit(episode)(q0j)
+
+    chunk = jax.jit(lambda c, t: episode.chunk(c, t, 2))
+    carry = jax.jit(episode.init)(q0j)
+    carry, t1 = chunk(carry, jnp.asarray(0.0, dtype))
+    _, t2 = chunk(carry, jnp.asarray(2 * ep.dt_mpc, dtype))
+    merged = jax.tree.map(
+        lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]), t1, t2)
+    for k in ("q", "tau_cmd", "err_3d", "fn_meas"):
+        assert np.allclose(merged[k], np.asarray(full[k]), atol=1e-12), k
