@@ -35,6 +35,8 @@ def main():
     settings = FDDPSettings(
         max_iters=10, use_box=True,
         scan_unroll=int(_os.environ.get("FFMPC_SCAN_UNROLL", "1")),
+        riccati_mode=_os.environ.get("FFMPC_RICCATI_MODE", "sequential"),
+        backward_mode=_os.environ.get("FFMPC_BACKWARD_MODE", "xla"),
         linesearch_mode=_os.environ.get("FFMPC_LS_MODE", "batched"))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
@@ -83,27 +85,59 @@ def main():
     # fused in one scan) — the TPU-native real-time deployment shape, where
     # dispatch cost amortizes over the episode.
     if os.environ.get("FFMPC_BENCH_B1", "1") != "0":
-        args1 = make_args(1)
-        out = solve_j(*args1)
-        jax.block_until_ready(out)
-        samples = []
-        for _ in range(50):
-            t0 = time.perf_counter()
-            out = solve_j(*args1)
+        # Low-latency configuration (measured winner, tools/bench_latency.py):
+        # vector-layout knots + associative-scan (parallel) Riccati.  The
+        # sequential backward scan dominates a B=1 solve (414 -> 103 ms);
+        # the scalar-channel layout only pays at batch widths.
+        from ffmpc_tpu.run.batch_runner import make_batched_solve_fn as _mk
+        settings_lat = FDDPSettings(max_iters=10, use_box=True,
+                                    riccati_mode="parallel")
+        ep_lat = EpisodeConfig(controller="force_feedback", horizon=40,
+                               ff_alpha_ocp=ep0.ff_alpha_ocp,
+                               ff_alpha_ctrl=ep0.ff_alpha_ctrl,
+                               deriv_mode="analytic")
+        solve_lat = jax.jit(_mk(model, W, settings_lat, traj, ep_lat, q0,
+                                surface=True, dtype=dtype,
+                                calc_mode="vector"))
+
+        def sample_ms(fn, args, n=50):
+            out = fn(*args)
             jax.block_until_ready(out)
-            samples.append((time.perf_counter() - t0) * 1e3)
-        samples = np.asarray(samples)
+            s = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = fn(*args)
+                jax.block_until_ready(out)
+                s.append((time.perf_counter() - t0) * 1e3)
+            return np.asarray(s)
+
+        args1 = make_args(1)
+        samples = sample_ms(solve_lat, args1)
         replan_p50 = float(np.percentile(samples, 50))
         replan_p99 = float(np.percentile(samples, 99))
+        # RTI mode: one solver iteration per tick (warm start + reg carry
+        # does the converging across ticks) — the 200 Hz pipelining story.
+        settings_rti = FDDPSettings(max_iters=1, use_box=True,
+                                    riccati_mode="parallel")
+        solve_rti = jax.jit(_mk(model, W, settings_rti, traj, ep_lat, q0,
+                                surface=True, dtype=dtype,
+                                calc_mode="vector"))
+        rti_samples = sample_ms(solve_rti, args1)
+        rti_p50 = float(np.percentile(rti_samples, 50))
+        # estimated on-device per-iteration time with the host->device
+        # dispatch roundtrip removed (dispatch ~= the B=0-work floor; the
+        # 10-iter and 1-iter programs share it, so the difference isolates
+        # 9 iterations of device time)
+        iter_ms_device = max(replan_p50 - rti_p50, 0.0) / 9.0
 
         from ffmpc_tpu.run.batch_runner import make_episode_fn
         from ffmpc_tpu.sim.device_plant import make_table_params
         ep_cl = EpisodeConfig(
             controller="force_feedback", horizon=40, n_ticks=40,
             ff_alpha_ocp=ep0.ff_alpha_ocp, ff_alpha_ctrl=ep0.ff_alpha_ctrl,
-            deriv_mode="scalar" if jax.default_backend() == "tpu" else "analytic")
+            deriv_mode="analytic")
         episode = jax.jit(jax.vmap(make_episode_fn(
-            model, W, settings, traj, make_table_params(0.0, dtype=dtype),
+            model, W, settings_lat, traj, make_table_params(0.0, dtype=dtype),
             ep_cl, q0, dtype=dtype)))
         q0b = jnp.asarray(q0[None].astype(np.float32))
         telem = episode(q0b)
@@ -115,6 +149,7 @@ def main():
         ondevice_tick_ms = (time.perf_counter() - t0) / 3 / ep_cl.n_ticks * 1e3
     else:
         replan_p50 = replan_p99 = ondevice_tick_ms = float("nan")
+        rti_p50 = iter_ms_device = float("nan")
 
     # north-star: >=2000 solves/s on a v5e-8 => 250/chip; this container has
     # one chip, so vs_baseline is measured against the per-chip share and
@@ -133,6 +168,8 @@ def main():
         "batch_latency_ms": round(lat_ms, 2),
         "replan_latency_ms_b1": round(replan_p50, 2),
         "replan_latency_ms_b1_p99": round(replan_p99, 2),
+        "rti_tick_latency_ms_b1": round(rti_p50, 2),
+        "solver_iter_ms_device_b1": round(iter_ms_device, 2),
         "ondevice_closedloop_tick_ms_b1": round(ondevice_tick_ms, 2),
         "replan_budget_ms": 5.0,
         "horizon": ep.horizon,

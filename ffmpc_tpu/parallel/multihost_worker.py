@@ -43,13 +43,27 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.coordinator:
-        jax.distributed.initialize(coordinator_address=args.coordinator,
-                                   num_processes=args.num_processes,
-                                   process_id=args.process_id)
-    else:
-        # real pod slice: the TPU runtime auto-detects the topology
-        jax.distributed.initialize()
+    # Bound the coordinator handshake: a dead/hung coordinator otherwise
+    # blocks this worker silently forever (round-1 advisor finding).
+    init_timeout_s = int(os.environ.get("FFMPC_MH_INIT_TIMEOUT_S", "120"))
+    os.environ.setdefault("JAX_COORDINATION_SERVICE_INIT_TIMEOUT",
+                          str(init_timeout_s))
+    try:
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+                initialization_timeout=init_timeout_s)
+        else:
+            # real pod slice: the TPU runtime auto-detects the topology
+            jax.distributed.initialize(
+                initialization_timeout=init_timeout_s)
+    except Exception as e:  # noqa: BLE001 — fail loudly, not hang
+        print(f"multihost FAILED: proc={args.process_id} could not join "
+              f"coordinator {args.coordinator!r} within {init_timeout_s}s: "
+              f"{type(e).__name__}: {e}", flush=True)
+        return 2
 
     import numpy as np
     import jax.numpy as jnp
@@ -81,7 +95,13 @@ def main(argv=None) -> int:
     n_dev_global = len(jax.devices())
     n_proc = jax.process_count()
     B_global = args.batch_per_process * n_proc
-    assert B_global % n_dev_global == 0, (B_global, n_dev_global)
+    if B_global % n_dev_global != 0:
+        print(f"multihost FAILED: global batch {B_global} "
+              f"({args.batch_per_process}/process x {n_proc}) is not "
+              f"divisible by the {n_dev_global} global devices; choose "
+              "--batch-per-process so every device gets an equal shard",
+              flush=True)
+        return 2
 
     # per-process local slice of the global batch
     tau_g = np.asarray(gravity_torque(model, jnp.asarray(q0, dtype)))

@@ -234,15 +234,18 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
 
 def make_batched_solve_fn(model: PandaModel, W: OCPWeights,
                           settings: FDDPSettings, traj, ep: EpisodeConfig,
-                          q_nom, surface: bool = True, dtype=jnp.float32):
+                          q_nom, surface: bool = True, dtype=jnp.float32,
+                          calc_mode: str = "scalar"):
     """Pure batched-solve benchmark kernel: B independent warm-started
     BoxFDDP solves of the full-horizon problem (the BASELINE.json
-    solves/s metric)."""
+    solves/s metric).  ``calc_mode="vector"`` selects the latency-oriented
+    knot layout (better at small B; scalar channels win at batch widths)."""
     N = ep.horizon
     is_ff = ep.controller == "force_feedback"
     make_knot = make_augmented_knot if is_ff else make_classical_knot
     knot = make_knot(model, W, surface=surface,
-                     deriv_mode=resolve_deriv_mode(ep.deriv_mode))
+                     deriv_mode=resolve_deriv_mode(ep.deriv_mode),
+                     calc_mode=calc_mode)
     R_des = jnp.asarray(make_vertical_down_R(), dtype)
     q_nom = jnp.asarray(q_nom, dtype)
     x_reg_nom = jnp.concatenate([q_nom, jnp.zeros(7, dtype)])

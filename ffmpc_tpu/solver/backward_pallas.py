@@ -1,0 +1,481 @@
+"""Fused Pallas TPU kernel for the BoxFDDP backward sweep.
+
+The sequential backward Riccati sweep is the largest solver stage at
+benchmark batch sizes and the dominant one at B=1 (tools/bench_latency.py:
+410 of 414 ms p50 trace against ~100 ms with the O(log N) scan) — not
+because of FLOPs (~30k per knot) but because XLA emits the per-knot chain
+as hundreds of small fusions, each a separate launch inside the scan.
+This kernel runs the ENTIRE N-knot sweep — Q-block assembly, projected
+-Newton box-QP, masked gain solve, value-function recursion, expected
+-improvement bookkeeping — as ONE kernel launch.
+
+Layout: channel-major.  Every small-matrix entry is a row of a
+(channels, B_tile) VMEM block, batch on the 128 lanes, channels on
+sublanes; matrix products are unrolled broadcast-FMAs over (n, m, Bt)
+blocks.  Per-knot inputs stream HBM -> VMEM with an async copy inside the
+knot loop.  The math mirrors ``fddp.solve``'s ``backward_store`` exactly
+(reference semantics: Crocoddyl SolverBoxFDDP::backwardPass +
+expectedImprovement; crocoddyl_classical.py:442-445).
+
+Integration: ``make_backward_box(...)`` returns a ``custom_vmap`` function
+— unbatched calls run the plain sequential scan; under ``jax.vmap`` (the
+batched-solve path) the whole batch drops into the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .boxqp import boxqp, _masked_solve
+
+
+# ---------------------------------------------------------------------------
+# channel-major small linear algebra (arrays shaped (n, m, Bt) / (n, Bt))
+# ---------------------------------------------------------------------------
+
+def _mm(A, B):
+    """C[i,j] = sum_k A[i,k] B[k,j];  A: (i,k,Bt), B: (k,j,Bt)."""
+    return sum(A[:, k, None, :] * B[None, k, :, :] for k in range(A.shape[1]))
+
+
+def _mmT(A, B):
+    """C[i,j] = sum_k A[k,i] B[k,j];  A: (k,i,Bt), B: (k,j,Bt)."""
+    return sum(A[k][:, None, :] * B[k][None, :, :] for k in range(A.shape[0]))
+
+
+def _mv(A, x):
+    """y[i] = sum_k A[i,k] x[k];  A: (i,k,Bt), x: (k,Bt)."""
+    return sum(A[:, k, :] * x[k] for k in range(A.shape[1]))
+
+
+def _mvT(A, x):
+    """y[i] = sum_k A[k,i] x[k]."""
+    return sum(A[k] * x[k] for k in range(A.shape[0]))
+
+
+def _chol(Q):
+    """Lower Cholesky of (n,n,Bt) as a list-of-lists of (Bt,) channels."""
+    n = Q.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = Q[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            s = Q[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    return L
+
+
+def _chol_solve_vec(L, b):
+    """Solve L L^T x = b;  b: (n,Bt) -> (n,Bt)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def _chol_solve_mat(L, B):
+    """Solve L L^T X = B;  B: (n,m,Bt) -> (n,m,Bt) (block rows as rhs)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = B[i]
+        for k in range(i):
+            s = s - L[i][k][None, :] * y[k]
+        y[i] = s / L[i][i][None, :]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i][None, :] * x[k]
+        x[i] = s / L[i][i][None, :]
+    return jnp.stack(x)
+
+
+def _diag_mask(n, dtype):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    return (ii == jj).astype(dtype)
+
+
+def _masked_spd(Q, free, reg):
+    """Clamped rows/cols replaced by identity (+reg): one dense solve for
+    any active set (mirror of boxqp._masked_solve)."""
+    n = Q.shape[0]
+    dm = _diag_mask(n, Q.dtype)
+    m2 = free[:, None, :] * free[None, :, :]
+    return Q * m2 + dm * ((1.0 - free)[:, None, :] + reg)
+
+
+def _boxqp_channels(Q, q, lb, ub, iters, reg):
+    """Projected-Newton box QP, channel layout (mirror of boxqp.boxqp).
+    Q: (n,n,Bt), q/lb/ub: (n,Bt).  Returns (x, free)."""
+    dtype = Q.dtype
+    eps = jnp.asarray(1e-9, dtype)
+    x = jnp.clip(jnp.zeros_like(q), lb, ub)
+
+    def obj(c):
+        return 0.5 * jnp.sum(c * _mv(Q, c), axis=0) + jnp.sum(q * c, axis=0)
+
+    for _ in range(iters):
+        g = q + _mv(Q, x)
+        lo = (x <= lb + eps) & (g > 0)
+        hi = (x >= ub - eps) & (g < 0)
+        free = (~(lo | hi)).astype(dtype)
+        Qm = _masked_spd(Q, free, reg)
+        dx = -_chol_solve_vec(_chol(Qm), g * free)
+        cands = [x, jnp.clip(x + dx, lb, ub), jnp.clip(x + 0.5 * dx, lb, ub),
+                 jnp.clip(x + 0.25 * dx, lb, ub)]
+        vals = jnp.stack([obj(c) for c in cands])          # (4, Bt)
+        best = jnp.argmin(vals, axis=0)                    # (Bt,)
+        xn = cands[0]
+        for i in range(1, 4):
+            xn = jnp.where(best == i, cands[i], xn)
+        x = xn
+    g = q + _mv(Q, x)
+    lo = (x <= lb + eps) & (g > 0)
+    hi = (x >= ub - eps) & (g < 0)
+    free = (~(lo | hi)).astype(dtype)
+    return x, free
+
+
+# ---------------------------------------------------------------------------
+# channel packing
+# ---------------------------------------------------------------------------
+
+class _Off(NamedTuple):
+    Fx: int
+    Fu: int
+    Lx: int
+    Lu: int
+    Lxx: int
+    Lxu: int
+    Luu: int
+    fs: int
+    lb: int
+    ub: int
+    total: int
+
+
+def _offsets(nx, nu) -> _Off:
+    o = {}
+    c = 0
+    for name, size in (("Fx", nx * nx), ("Fu", nx * nu), ("Lx", nx),
+                       ("Lu", nu), ("Lxx", nx * nx), ("Lxu", nx * nu),
+                       ("Luu", nu * nu), ("fs", nx), ("lb", nu), ("ub", nu)):
+        o[name] = c
+        c += size
+    return _Off(total=c, **o)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
+                     scal_ref, scr, kstage, kffstage, vxxstage, sems,
+                     *, nx, nu, N, Bt, boxqp_iters, kgain_reg):
+    off = _offsets(nx, nu)
+    dtype = term_ref.dtype
+    ib = pl.program_id(0)
+    b0 = pl.multiple_of(ib * Bt, Bt)
+
+    # terminal block: LxT (nx), LxxT (nx*nx), fsN (nx), xreg (1), ureg (1)
+    LxT = term_ref[0:nx, :]
+    LxxT = term_ref[nx:nx + nx * nx, :].reshape(nx, nx, Bt)
+    fsN = term_ref[nx + nx * nx:2 * nx + nx * nx, :]
+    xreg = term_ref[2 * nx + nx * nx, :]
+    ureg = term_ref[2 * nx + nx * nx + 1, :]
+
+    dm_x = _diag_mask(nx, dtype)
+    dm_u = _diag_mask(nu, dtype)
+
+    Vxx = LxxT + dm_x * xreg
+    Vx = LxT + _mv(Vxx, fsN)
+
+    # store terminal Vxx at slot N
+    vxxstage[:, :] = Vxx.reshape(nx * nx, Bt)
+    cp = pltpu.make_async_copy(
+        vxxstage, vxxout_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[2])
+    cp.start()
+    cp.wait()
+
+    dg0 = -jnp.sum(Vx * fsN, axis=0)
+    dq0 = jnp.sum(fsN * _mv(Vxx, fsN), axis=0)
+
+    def step(it, carry):
+        Vx, Vxx, dg, dq, qu2, bad = carry
+        t = N - 1 - it
+        cin = pltpu.make_async_copy(
+            knots_hbm.at[t, :, pl.ds(b0, Bt)], scr, sems.at[0])
+        cin.start()
+        cin.wait()
+
+        Fx = scr[off.Fx:off.Fx + nx * nx, :].reshape(nx, nx, Bt)
+        Fu = scr[off.Fu:off.Fu + nx * nu, :].reshape(nx, nu, Bt)
+        Lx = scr[off.Lx:off.Lx + nx, :]
+        Lu = scr[off.Lu:off.Lu + nu, :]
+        Lxx = scr[off.Lxx:off.Lxx + nx * nx, :].reshape(nx, nx, Bt)
+        Lxu = scr[off.Lxu:off.Lxu + nx * nu, :].reshape(nx, nu, Bt)
+        Luu = scr[off.Luu:off.Luu + nu * nu, :].reshape(nu, nu, Bt)
+        fs_t = scr[off.fs:off.fs + nx, :]
+        lb = scr[off.lb:off.lb + nu, :]
+        ub = scr[off.ub:off.ub + nu, :]
+
+        W = _mm(Vxx, Fx)                      # (nx, nx, Bt)
+        U = _mm(Vxx, Fu)                      # (nx, nu, Bt)
+        Qxx = Lxx + _mmT(Fx, W)
+        Qxu = Lxu + _mmT(Fx, U)
+        Quu = Luu + _mmT(Fu, U) + dm_u * ureg
+        Qx = Lx + _mvT(Fx, Vx)
+        Qu = Lu + _mvT(Fu, Vx)
+
+        xq, free = _boxqp_channels(Quu, Qu, lb, ub, boxqp_iters, 1e-9)
+        kff = -xq
+        # K = masked_solve(Quu, Qxu^T * free_rows, free, kgain_reg)
+        QxuT = jnp.transpose(Qxu, (1, 0, 2))          # (nu, nx, Bt)
+        rhs = QxuT * free[:, None, :]
+        Qm = _masked_spd(Quu, free, kgain_reg)
+        K = _chol_solve_mat(_chol(Qm), rhs)           # (nu, nx, Bt)
+
+        finite = jnp.isfinite(jnp.sum(kff, axis=0)) & jnp.isfinite(
+            jnp.sum(K.reshape(nu * nx, Bt), axis=0))
+        bad = bad | (~finite)
+
+        Quuk = _mv(Quu, kff)
+        Vx_new = Qx + _mvT(K, Quuk - 2.0 * Qu)
+        Vxx_new = Qxx - _mm(Qxu, K)
+        Vxx_new = 0.5 * (Vxx_new + jnp.transpose(Vxx_new, (1, 0, 2))) \
+            + dm_x * xreg
+        Vx_new = Vx_new + _mv(Vxx_new, fs_t)
+
+        dg = dg + jnp.sum(Qu * kff, axis=0) - jnp.sum(Vx_new * fs_t, axis=0)
+        dq = dq - jnp.sum(kff * Quuk, axis=0) + jnp.sum(
+            fs_t * _mv(Vxx_new, fs_t), axis=0)
+        qu2 = qu2 + jnp.sum(Qu * Qu, axis=0)
+
+        kstage[:, :] = K.reshape(nu * nx, Bt)
+        kffstage[:, :] = kff
+        vxxstage[:, :] = Vxx_new.reshape(nx * nx, Bt)
+        c1 = pltpu.make_async_copy(
+            kstage, kout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[1])
+        c2 = pltpu.make_async_copy(
+            kffstage, kffout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[3])
+        c3 = pltpu.make_async_copy(
+            vxxstage, vxxout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[2])
+        c1.start()
+        c2.start()
+        c3.start()
+        c1.wait()
+        c2.wait()
+        c3.wait()
+        return (Vx_new, Vxx_new, dg, dq, qu2, bad)
+
+    zero = jnp.zeros((Bt,), dtype)
+    carry0 = (Vx, Vxx, dg0, dq0, zero, jnp.zeros((Bt,), jnp.bool_))
+    _, _, dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
+
+    scal_ref[0, :] = dg
+    scal_ref[1, :] = dq
+    scal_ref[2, :] = qu2
+    scal_ref[3, :] = bad.astype(dtype)
+
+
+def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
+                             LxT, LxxT, lb, ub, xreg, ureg, *,
+                             boxqp_iters, kgain_reg, interpret):
+    """All inputs batch-leading: Fx (B,N,nx,nx) ... fs_scaled (B,N+1,nx),
+    lb/ub (B,N,nu), xreg/ureg (B,).  Returns (K, kff, qu2, dg, dq, bad,
+    Vxx_all) batch-leading."""
+    B, N = Fx.shape[0], Fx.shape[1]
+    nx, nu = Fx.shape[2], Fu.shape[3]
+    dtype = Fx.dtype
+    off = _offsets(nx, nu)
+
+    Bt = 128 if not interpret else max(8, 1 << (B - 1).bit_length())
+    Bp = ((B + Bt - 1) // Bt) * Bt
+
+    def pad(a):
+        if a.shape[0] == Bp:
+            return a
+        reps = jnp.broadcast_to(a[-1:], (Bp - a.shape[0],) + a.shape[1:])
+        return jnp.concatenate([a, reps], axis=0)
+
+    # pack per-knot channels: (N, C, Bp)
+    def flat2(a, n):     # (B,N,...) -> (N, n, Bp)
+        return jnp.moveaxis(pad(a).reshape(Bp, N, n), 0, -1)
+
+    knots = jnp.concatenate([
+        flat2(Fx, nx * nx), flat2(Fu, nx * nu), flat2(Lx, nx), flat2(Lu, nu),
+        flat2(Lxx, nx * nx), flat2(Lxu, nx * nu), flat2(Luu, nu * nu),
+        flat2(fs_scaled[:, :N], nx), flat2(lb, nu), flat2(ub, nu)], axis=1)
+
+    term = jnp.concatenate([
+        jnp.moveaxis(pad(LxT), 0, -1),
+        jnp.moveaxis(pad(LxxT).reshape(Bp, nx * nx), 0, -1),
+        jnp.moveaxis(pad(fs_scaled[:, N]), 0, -1),
+        jnp.moveaxis(pad(xreg)[:, None], 0, -1),
+        jnp.moveaxis(pad(ureg)[:, None], 0, -1)], axis=0)
+    C2 = term.shape[0]
+
+    grid = (Bp // Bt,)
+    kernel = functools.partial(
+        _backward_kernel, nx=nx, nu=nu, N=N, Bt=Bt,
+        boxqp_iters=boxqp_iters, kgain_reg=kgain_reg)
+
+    K_f, kff_f, vxx_f, scal = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),         # knots stay in HBM
+            pl.BlockSpec((C2, Bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),     # terminal block
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nu * nx, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+            jax.ShapeDtypeStruct((N + 1, nx * nx, Bp), dtype),
+            jax.ShapeDtypeStruct((4, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((off.total, Bt), dtype),
+            pltpu.VMEM((nu * nx, Bt), dtype),
+            pltpu.VMEM((nu, Bt), dtype),
+            pltpu.VMEM((nx * nx, Bt), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100e6)),
+    )(knots, term)
+
+    K = jnp.moveaxis(K_f, -1, 0)[:B].reshape(B, N, nu, nx)
+    kff = jnp.moveaxis(kff_f, -1, 0)[:B]
+    Vxx_all = jnp.moveaxis(vxx_f, -1, 0)[:B].reshape(B, N + 1, nx, nx)
+    dg, dq, qu2, badf = scal[0, :B], scal[1, :B], scal[2, :B], scal[3, :B]
+    return K, kff, qu2, dg, dq, badf > 0.5, Vxx_all
+
+
+# ---------------------------------------------------------------------------
+# sequential single-problem reference (the custom_vmap fallback)
+# ---------------------------------------------------------------------------
+
+def _backward_seq(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled, LxT, LxxT,
+                  lb, ub, xreg, ureg, *, boxqp_iters, kgain_reg):
+    """Unbatched mirror of fddp.backward_store (box path), gap terms
+    pre-scaled into fs_scaled."""
+    nx, nu = Fx.shape[1], Fu.shape[2]
+    N = Fx.shape[0]
+    dtype = Fx.dtype
+    eye_x = jnp.eye(nx, dtype=dtype)
+    VxxT = LxxT + xreg * eye_x
+    VxT = LxT + VxxT @ fs_scaled[N]
+
+    def step(carry, inp):
+        Vx, Vxx = carry
+        fx, fu, lx, lu, lxx, lxu, luu, fs_t, lb_t, ub_t = inp
+        Qxx = lxx + fx.T @ Vxx @ fx
+        Qxu = lxu + fx.T @ Vxx @ fu
+        Quu = luu + fu.T @ Vxx @ fu + ureg * jnp.eye(nu, dtype=dtype)
+        Qx = lx + fx.T @ Vx
+        Qu = lu + fu.T @ Vx
+        sol = boxqp(Quu, Qu, lb_t, ub_t, jnp.zeros(nu, dtype),
+                    iters=boxqp_iters)
+        kff = -sol.x
+        K = _masked_solve(Quu, Qxu.T * sol.free.astype(dtype)[:, None],
+                          sol.free, kgain_reg)
+        bad = jnp.any(~jnp.isfinite(kff)) | jnp.any(~jnp.isfinite(K))
+        Quuk = Quu @ kff
+        Vx_new = Qx + K.T @ (Quuk - 2.0 * Qu)
+        Vxx_new = Qxx - Qxu @ K
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T) + xreg * eye_x
+        Vx_new = Vx_new + Vxx_new @ fs_t
+        dg_t = Qu @ kff - Vx_new @ fs_t
+        dq_t = -kff @ Quuk + fs_t @ (Vxx_new @ fs_t)
+        return (Vx_new, Vxx_new), (K, kff, jnp.sum(Qu * Qu), dg_t, dq_t,
+                                   bad, Vxx_new)
+
+    (_, _), outs = jax.lax.scan(
+        step, (VxT, VxxT),
+        (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled[:N], lb, ub), reverse=True)
+    K, kff, qu2, dg_t, dq_t, bad, Vxx_run = outs
+    dg = jnp.sum(dg_t) - VxT @ fs_scaled[N]
+    dq = jnp.sum(dq_t) + fs_scaled[N] @ (VxxT @ fs_scaled[N])
+    Vxx_all = jnp.concatenate([Vxx_run, VxxT[None]], axis=0)
+    return (K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), Vxx_all)
+
+
+@functools.cache
+def make_backward_box(nx: int, nu: int, boxqp_iters: int = 8,
+                      kgain_reg: float = 1e-12):
+    """custom_vmap'd backward: sequential scan unbatched, the fused Pallas
+    kernel under vmap.  Args (unbatched shapes):
+      Fx (N,nx,nx), Fu (N,nx,nu), Lx (N,nx), Lu (N,nu), Lxx, Lxu, Luu,
+      fs_scaled (N+1,nx)  [gap rows pre-multiplied by the infeasibility
+      weight], LxT (nx), LxxT (nx,nx), lb/ub (N,nu) [bounds relative to
+      the current controls], xreg (), ureg ().
+    Returns (K, kff, qu2, dg, dq, bad, Vxx_all)."""
+
+    @jax.custom_batching.custom_vmap
+    def backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled, LxT, LxxT,
+                 lb, ub, xreg, ureg):
+        return _backward_seq(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
+                             LxT, LxxT, lb, ub, xreg, ureg,
+                             boxqp_iters=boxqp_iters, kgain_reg=kgain_reg)
+
+    @backward.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        names = ("Fx", "Fu", "Lx", "Lu", "Lxx", "Lxu", "Luu", "fs_scaled",
+                 "LxT", "LxxT", "lb", "ub", "xreg", "ureg")
+        bargs = []
+        for a, b, n in zip(args, in_batched, names):
+            if not b:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            bargs.append(a)
+        # interpret unless the computation targets a real TPU (mirror of
+        # fddp.resolve_platform_mode: the configured default device wins
+        # over the highest-priority backend — tests pin CPU under a
+        # TPU-registered process)
+        dev = jax.config.jax_default_device
+        if dev is None:
+            platform = jax.default_backend()
+        elif isinstance(dev, str):
+            platform = dev
+        else:
+            platform = dev.platform
+        interpret = platform != "tpu"
+        out = _pallas_backward_batched(
+            *bargs, boxqp_iters=boxqp_iters, kgain_reg=kgain_reg,
+            interpret=interpret)
+        return out, tuple(True for _ in out)
+
+    return backward

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..ocp.action import KnotModel
 from ..core.smallchol import chol_factor, chol_solve
 from .boxqp import boxqp, _masked_solve
+from .backward_pallas import make_backward_box
 
 
 @dataclass(frozen=True)
@@ -65,6 +66,13 @@ class FDDPSettings:
     # parallel mode runs the frozen-active-set refinement
     # (riccati_scan.parallel_riccati_box); refinement rounds below.
     riccati_mode: str = "sequential"
+    # "xla" or "pallas": the sequential box backward as one fused Pallas
+    # kernel (solver/backward_pallas.py) — identical math/semantics to the
+    # XLA scan, one launch per sweep instead of hundreds per knot.  Only
+    # takes effect with use_box and riccati_mode="sequential"; engages the
+    # kernel when the solve is vmapped (custom_vmap rule), single solves
+    # keep the scan.
+    backward_mode: str = "xla"
     parallel_box_refinements: int = 1
     # "batched": all n_alphas rollouts in one vmapped pass (fixed cost);
     # "while": descending-alpha while_loop, stops at the first acceptance —
@@ -305,8 +313,21 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         feasible = c.feasible | (gap_norm < 1e-9)
 
         # backward pass with regularization retry on indefinite Quu
-        bw_fn = (backward_parallel if S.riccati_mode == "parallel"
-                 else backward_store)
+        if S.riccati_mode == "parallel":
+            bw_fn = backward_parallel
+        elif S.backward_mode == "pallas" and S.use_box:
+            bw_box = make_backward_box(nx, nu, S.boxqp_iters)
+
+            def bw_fn(derivs, LxT, LxxT, fs, us, xreg, ureg, feasible):
+                gapw = jnp.where(feasible, 0.0, 1.0)
+                return bw_box(derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu,
+                              derivs.Lxx, derivs.Lxu, derivs.Luu,
+                              gapw * fs, LxT, LxxT,
+                              u_lb[None] - us, u_ub[None] - us,
+                              jnp.asarray(xreg, dtype),
+                              jnp.asarray(ureg, dtype))
+        else:
+            bw_fn = backward_store
 
         def bw(reg_pair):
             xreg, ureg = reg_pair
