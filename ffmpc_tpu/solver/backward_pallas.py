@@ -40,24 +40,42 @@ from .boxqp import boxqp, _masked_solve
 # channel-major small linear algebra (arrays shaped (n, m, Bt) / (n, Bt))
 # ---------------------------------------------------------------------------
 
+def _col(A, k):
+    """A[:, k, :] as (i, 1, Bt) via a true slice — mixed int/None indexing
+    lowers through gather, which Mosaic supports only in 2D."""
+    return jax.lax.slice_in_dim(A, k, k + 1, axis=1)
+
+
+def _row(A, k):
+    """A[k] as (1, j, Bt) via a true slice."""
+    return jax.lax.slice_in_dim(A, k, k + 1, axis=0)
+
+
 def _mm(A, B):
     """C[i,j] = sum_k A[i,k] B[k,j];  A: (i,k,Bt), B: (k,j,Bt)."""
-    return sum(A[:, k, None, :] * B[None, k, :, :] for k in range(A.shape[1]))
+    return sum(_col(A, k) * _row(B, k) for k in range(A.shape[1]))
 
 
 def _mmT(A, B):
     """C[i,j] = sum_k A[k,i] B[k,j];  A: (k,i,Bt), B: (k,j,Bt)."""
-    return sum(A[k][:, None, :] * B[k][None, :, :] for k in range(A.shape[0]))
+    ni, Bt = A.shape[1], A.shape[2]
+    # (1, i, Bt) -> (i, 1, Bt): row-major-preserving reshape, not transpose
+    return sum(_row(A, k).reshape(ni, 1, Bt) * _row(B, k)
+               for k in range(A.shape[0]))
 
 
 def _mv(A, x):
     """y[i] = sum_k A[i,k] x[k];  A: (i,k,Bt), x: (k,Bt)."""
-    return sum(A[:, k, :] * x[k] for k in range(A.shape[1]))
+    ni, Bt = A.shape[0], A.shape[2]
+    return sum(_col(A, k).reshape(ni, Bt) * _row(x, k)
+               for k in range(A.shape[1]))
 
 
 def _mvT(A, x):
     """y[i] = sum_k A[k,i] x[k]."""
-    return sum(A[k] * x[k] for k in range(A.shape[0]))
+    ni, Bt = A.shape[1], A.shape[2]
+    return sum(_row(A, k).reshape(ni, Bt) * _row(x, k)
+               for k in range(A.shape[0]))
 
 
 def _chol(Q):
@@ -255,8 +273,11 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
 
         xq, free = _boxqp_channels(Quu, Qu, lb, ub, boxqp_iters, 1e-9)
         kff = -xq
-        # K = masked_solve(Quu, Qxu^T * free_rows, free, kgain_reg)
-        QxuT = jnp.transpose(Qxu, (1, 0, 2))          # (nu, nx, Bt)
+        # K = masked_solve(Quu, Qxu^T * free_rows, free, kgain_reg).
+        # Transpose via column-slices: Mosaic lowers leading-dim
+        # transposes/mixed indexing through gather (2D-only).
+        QxuT = jnp.concatenate([_col(Qxu, u).reshape(1, nx, Bt)
+                                for u in range(nu)])         # (nu, nx, Bt)
         rhs = QxuT * free[:, None, :]
         Qm = _masked_spd(Quu, free, kgain_reg)
         K = _chol_solve_mat(_chol(Qm), rhs)           # (nu, nx, Bt)
@@ -268,8 +289,9 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         Quuk = _mv(Quu, kff)
         Vx_new = Qx + _mvT(K, Quuk - 2.0 * Qu)
         Vxx_new = Qxx - _mm(Qxu, K)
-        Vxx_new = 0.5 * (Vxx_new + jnp.transpose(Vxx_new, (1, 0, 2))) \
-            + dm_x * xreg
+        Vxx_newT = jnp.concatenate([_col(Vxx_new, i).reshape(1, nx, Bt)
+                                    for i in range(nx)])
+        Vxx_new = 0.5 * (Vxx_new + Vxx_newT) + dm_x * xreg
         Vx_new = Vx_new + _mv(Vxx_new, fs_t)
 
         dg = dg + jnp.sum(Qu * kff, axis=0) - jnp.sum(Vx_new * fs_t, axis=0)

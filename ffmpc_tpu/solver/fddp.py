@@ -35,6 +35,7 @@ from ..ocp.action import KnotModel
 from ..core.smallchol import chol_factor, chol_solve
 from .boxqp import boxqp, _masked_solve
 from .backward_pallas import make_backward_box
+from .rollout_pallas import make_fused_rollout
 
 
 @dataclass(frozen=True)
@@ -73,6 +74,11 @@ class FDDPSettings:
     # kernel when the solve is vmapped (custom_vmap rule), single solves
     # keep the scan.
     backward_mode: str = "xla"
+    # "xla" or "pallas": the alpha-batched line-search rollout as one fused
+    # Pallas kernel (solver/rollout_pallas.py; the scalar-channel knot calc
+    # runs inside the kernel).  Requires calc_mode="scalar" knots and
+    # linesearch_mode="batched"; engages under vmap like backward_mode.
+    rollout_mode: str = "xla"
     parallel_box_refinements: int = 1
     # "batched": all n_alphas rollouts in one vmapped pass (fixed cost);
     # "while": descending-alpha while_loop, stops at the first acceptance —
@@ -353,8 +359,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         # with fixed one-pass cost — crucial under vmap(solve), where a
         # while_loop line search would run worst-case trips for the whole
         # batch of problems.
-        def try_alpha(alpha):
-            xs_try, us_try, cost_try = forward(c.xs, c.us, K, kff, fs, alpha, feasible)
+        def accept_alpha(alpha, xs_try, us_try, cost_try):
             dV = cost_cur - cost_try
             # gap-aware expected improvement (crocoddyl FDDP::expectedImprovement)
             dx_all = c.xs - xs_try
@@ -393,6 +398,11 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                       & (cost_try < cost_guard))
             return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg), d1
 
+        def try_alpha(alpha):
+            xs_try, us_try, cost_try = forward(c.xs, c.us, K, kff, fs,
+                                               alpha, feasible)
+            return accept_alpha(alpha, xs_try, us_try, cost_try)
+
         if S.linesearch_mode == "while":
             def ls_cond(st):
                 idx, ok = st[0], st[1]
@@ -413,6 +423,19 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                    jnp.asarray(jnp.inf, dtype))
             _, accepted, xs_try, us_try, cost_try, alpha_f, d1_sel = \
                 jax.lax.while_loop(ls_cond, ls_body, st0)
+        elif S.rollout_mode == "pallas":
+            fused = make_fused_rollout(knot, S.n_alphas, S.use_box)
+            xs_ts, us_ts, cost_ts = fused(x0, c.xs, c.us, K, kff, fs,
+                                          feasible, refs_run, ref_T)
+            xs_tries, us_tries, cost_tries, ok_flags, d1s = jax.vmap(
+                accept_alpha)(alphas, xs_ts, us_ts, cost_ts)
+            accepted = jnp.any(ok_flags)
+            sel = jnp.argmax(ok_flags)
+            xs_try = xs_tries[sel]
+            us_try = us_tries[sel]
+            cost_try = cost_tries[sel]
+            alpha_f = alphas[sel]
+            d1_sel = d1s[sel]
         else:
             xs_tries, us_tries, cost_tries, ok_flags, d1s = jax.vmap(try_alpha)(alphas)
             accepted = jnp.any(ok_flags)

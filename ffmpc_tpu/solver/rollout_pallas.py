@@ -1,0 +1,303 @@
+"""Fused Pallas TPU kernel for the FDDP line-search rollout.
+
+The forward pass — for every step length alpha: the policy update
+u = u_nom - alpha*k - K dx, the control clip, the full knot dynamics+cost
+(``knot.calc``) and the gap-keeping state update — fused into ONE kernel
+launch for the whole N-knot horizon and ALL alphas, instead of the
+XLA scan's hundreds of fusion launches per knot step.
+
+Layout: channels on sublanes, (alpha, batch-tile) on the (sublane, lane)
+grid of each channel: every logical scalar of the knot chain is an
+(n_alphas, 128) block.  The scalar-channel knot calc
+(``ocp.scalar_knot``) is reused VERBATIM inside the kernel — its ops are
+plain jnp on channel-indexable arrays, which Mosaic lowers like any
+kernel body.  Per-knot operands (trajectory refs, nominal plan, gains,
+gaps) stream HBM -> VMEM inside the knot loop.
+
+Integration mirrors backward_pallas: a ``custom_vmap`` function — the
+plain per-problem alpha-vmapped scan unbatched, the kernel under
+``jax.vmap`` (the batched-solve path) — behind
+``FDDPSettings.rollout_mode="pallas"`` (requires calc_mode="scalar"
+knots, the TPU default).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _leaf_sizes(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    return leaves, treedef, shapes, sizes
+
+
+def _resolve_interpret():
+    dev = jax.config.jax_default_device
+    if dev is None:
+        platform = jax.default_backend()
+    elif isinstance(dev, str):
+        platform = dev
+    else:
+        platform = dev.platform
+    return platform != "tpu"
+
+
+def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
+                    scr, xstage, ustage, sems, *,
+                    calc, term_calc, ref_treedef, ref_shapes, ref_sizes,
+                    refT_treedef, refT_shapes, refT_sizes,
+                    nx, nu, N, A, Bt, alphas, u_lb, u_ub, use_box):
+    dtype = glob_ref.dtype
+    ib = pl.program_id(0)
+    b0 = pl.multiple_of(ib * Bt, Bt)
+
+    # ---- global block: x0 (nx), feasible (1), ref_T leaves ----
+    x0 = glob_ref[0:nx, :]                           # (nx, Bt)
+    feasible = glob_ref[nx, :]                       # (Bt,) 0/1
+    off = nx + 1
+    refT_leaves = []
+    for shp, size in zip(refT_shapes, refT_sizes):
+        v = glob_ref[off:off + size, :]
+        refT_leaves.append(v.reshape(shp + (Bt,)))
+        off += size
+    ref_T = jax.tree.unflatten(refT_treedef, refT_leaves)
+
+    # alpha-dependent rows built per-alpha from float literals — pallas
+    # kernels cannot materialize non-literal array constants
+    one = 1.0 - feasible                                       # (Bt,)
+    gap_scale = jnp.stack([one * (a - 1.0) for a in alphas])   # (A, Bt)
+
+    x = jnp.broadcast_to(x0[:, None, :], (nx, A, Bt))
+    cost_acc = jnp.zeros((A, Bt), dtype)
+
+    n_ref = len(ref_sizes)
+    ref_total = sum(ref_sizes)
+
+    def unpack_knot(scr_arr):
+        o = 0
+        leaves = []
+        for shp, size in zip(ref_shapes, ref_sizes):
+            leaves.append(scr_arr[o:o + size, :].reshape(shp + (Bt,)))
+            o += size
+        ref = jax.tree.unflatten(ref_treedef, leaves)
+        x_nom = scr_arr[o:o + nx, :]
+        o += nx
+        u_nom = scr_arr[o:o + nu, :]
+        o += nu
+        K = scr_arr[o:o + nu * nx, :].reshape(nu, nx, Bt)
+        o += nu * nx
+        kff = scr_arr[o:o + nu, :]
+        o += nu
+        fs_next = scr_arr[o:o + nx, :]
+        return ref, x_nom, u_nom, K, kff, fs_next
+
+    def step(t, carry):
+        x, cost_acc = carry
+        cin = pltpu.make_async_copy(
+            knots_hbm.at[t, :, pl.ds(b0, Bt)], scr, sems.at[0])
+        cin.start()
+        cin.wait()
+        ref, x_nom, u_nom, K, kff, fs_next = unpack_knot(scr[:])
+
+        # stash the pre-step state: xs_try[t] = x
+        xstage[:, :] = x.reshape(nx * A, Bt)
+        cx = pltpu.make_async_copy(
+            xstage, xs_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[1])
+        cx.start()
+
+        dx = x - x_nom[:, None, :]                           # (nx, A, Bt)
+        # K[:, i] via true slices — mixed int/None indexing lowers through
+        # gather, which Mosaic supports only in 2D
+        Kdx = sum(jax.lax.slice_in_dim(K, i, i + 1, axis=1)
+                  * dx[i][None, :, :] for i in range(nx))
+        # u[j, a, :] = u_nom[j] - alpha_a * kff[j] - Kdx[j, a]
+        u = jnp.stack([
+            jnp.stack([u_nom[j] - a * kff[j] - Kdx[j, ai]
+                       for ai, a in enumerate(alphas)])
+            for j in range(nu)])
+        if use_box:
+            u = jnp.stack([jnp.clip(u[j], float(u_lb[j]), float(u_ub[j]))
+                           for j in range(nu)])
+
+        xnext, cost = calc(ref, x, u)                        # scalar chain
+        xnext = xnext + gap_scale[None, :, :] * fs_next[:, None, :]
+
+        ustage[:, :] = u.reshape(nu * A, Bt)
+        cu = pltpu.make_async_copy(
+            ustage, us_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[2])
+        cu.start()
+        cx.wait()
+        cu.wait()
+        return (xnext, cost_acc + cost)
+
+    x, cost_acc = jax.lax.fori_loop(0, N, step, (x, cost_acc))
+
+    xstage[:, :] = x.reshape(nx * A, Bt)
+    cx = pltpu.make_async_copy(
+        xstage, xs_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[1])
+    cx.start()
+    cx.wait()
+
+    cost_T = term_calc(ref_T, x)                             # (A, Bt)
+    cost_ref[:, :] = cost_acc + cost_T
+
+
+def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
+                            ref_T, *, calc, term_calc, n_alphas, u_lb, u_ub,
+                            use_box, interpret):
+    """Batch-leading inputs: x0 (B,nx), xs (B,N+1,nx), us (B,N,nu),
+    K (B,N,nu,nx), kff (B,N,nu), fs (B,N+1,nx), feasible (B,),
+    refs_run pytree (B,N,...), ref_T pytree (B,...)."""
+    B, Np1, nx = xs.shape
+    N = Np1 - 1
+    nu = us.shape[2]
+    dtype = xs.dtype
+    A = n_alphas
+    alphas = tuple(float(a) for a in 0.5 ** np.arange(A))
+
+    Bt = 128 if not interpret else max(8, 1 << (B - 1).bit_length())
+    Bp = ((B + Bt - 1) // Bt) * Bt
+
+    def pad(a):
+        if a.shape[0] == Bp:
+            return a
+        reps = jnp.broadcast_to(a[-1:], (Bp - a.shape[0],) + a.shape[1:])
+        return jnp.concatenate([a, reps], axis=0)
+
+    def flat2(a, n):     # (B, N, ...) -> (N, n, Bp)
+        return jnp.moveaxis(pad(a).reshape(Bp, N, n), 0, -1)
+
+    ref_leaves, ref_treedef, ref_shapes_bn, ref_sizes = _leaf_sizes(refs_run)
+    # leaf shapes minus the (B, N) leading dims
+    ref_shapes = [s[2:] for s in ref_shapes_bn]
+    ref_sizes = [int(np.prod(s)) if s else 1 for s in ref_shapes]
+    packed = [flat2(l, sz) for l, sz in zip(ref_leaves, ref_sizes)]
+    knots = jnp.concatenate(
+        packed + [flat2(xs[:, :N], nx), flat2(us, nu), flat2(K, nu * nx),
+                  flat2(kff, nu), flat2(fs[:, 1:], nx)], axis=1)
+
+    refT_leaves, refT_treedef, refT_shapes_b, refT_sizes = _leaf_sizes(ref_T)
+    refT_shapes = [s[1:] for s in refT_shapes_b]
+    refT_sizes = [int(np.prod(s)) if s else 1 for s in refT_shapes]
+
+    def gflat(a, n):     # (B, ...) -> (n, Bp)
+        return jnp.moveaxis(pad(a).reshape(Bp, n), 0, -1)
+
+    glob = jnp.concatenate(
+        [gflat(x0, nx), gflat(feasible.astype(dtype)[:, None], 1)]
+        + [gflat(l, sz) for l, sz in zip(refT_leaves, refT_sizes)], axis=0)
+    CG = glob.shape[0]
+
+    kernel = functools.partial(
+        _rollout_kernel, calc=calc, term_calc=term_calc,
+        ref_treedef=ref_treedef, ref_shapes=ref_shapes, ref_sizes=ref_sizes,
+        refT_treedef=refT_treedef, refT_shapes=refT_shapes,
+        refT_sizes=refT_sizes, nx=nx, nu=nu, N=N, A=A, Bt=Bt,
+        alphas=alphas, u_lb=u_lb, u_ub=u_ub, use_box=use_box)
+
+    C = knots.shape[1]
+    xs_f, us_f, costs = pl.pallas_call(
+        kernel,
+        grid=(Bp // Bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((CG, Bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((A, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + 1, nx * A, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nu * A, Bp), dtype),
+            jax.ShapeDtypeStruct((A, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C, Bt), dtype),
+            pltpu.VMEM((nx * A, Bt), dtype),
+            pltpu.VMEM((nu * A, Bt), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+    )(knots, glob)
+
+    # (N+1, nx*A, Bp) -> (B, A, N+1, nx)
+    xs_tries = jnp.moveaxis(xs_f, -1, 0)[:B].reshape(B, N + 1, nx, A)
+    xs_tries = jnp.moveaxis(xs_tries, 3, 1)
+    us_tries = jnp.moveaxis(us_f, -1, 0)[:B].reshape(B, N, nu, A)
+    us_tries = jnp.moveaxis(us_tries, 3, 1)
+    cost_tries = jnp.moveaxis(costs, -1, 0)[:B]              # (B, A)
+    return xs_tries, us_tries, cost_tries
+
+
+def make_fused_rollout(knot, n_alphas: int, use_box: bool):
+    """custom_vmap'd line-search rollout for a scalar-calc knot.
+
+    fn(x0, xs, us, K, kff, fs, feasible, refs_run, ref_T) ->
+      (xs_tries (A,N+1,nx), us_tries (A,N,nu), cost_tries (A,))
+    Unbatched: alpha-vmapped XLA scan (identical math to fddp.forward);
+    under vmap: the fused Pallas kernel."""
+    nx, nu = knot.nx, knot.nu
+    alphas_arr = 0.5 ** np.arange(n_alphas)
+
+    def _forward_one(alpha, x0, xs, us, K, kff, fs, feasible, refs_run,
+                     ref_T):
+        dtype = xs.dtype
+        u_lb = jnp.asarray(knot.u_lb, dtype)
+        u_ub = jnp.asarray(knot.u_ub, dtype)
+        gap_scale = jnp.where(feasible, 0.0, alpha - 1.0)
+
+        def step(x, inp):
+            ref, x_nom, u_nom, K_t, k_t, fs_next = inp
+            dx = x - x_nom
+            u = u_nom - alpha * k_t - K_t @ dx
+            if use_box:
+                u = jnp.clip(u, u_lb, u_ub)
+            xnext, cost = knot.calc(ref, x, u)
+            xnext = xnext + gap_scale * fs_next
+            return xnext, (x, u, cost)
+
+        xN, (xs_run, us_try, costs) = jax.lax.scan(
+            step, x0, (refs_run, xs[:-1], us, K, kff, fs[1:]))
+        cost_T = knot.term_calc(ref_T, xN)
+        xs_try = jnp.concatenate([xs_run, xN[None]], axis=0)
+        return xs_try, us_try, jnp.sum(costs) + cost_T
+
+    @jax.custom_batching.custom_vmap
+    def rollout(x0, xs, us, K, kff, fs, feasible, refs_run, ref_T):
+        al = jnp.asarray(alphas_arr, xs.dtype)
+        return jax.vmap(
+            _forward_one,
+            in_axes=(0, None, None, None, None, None, None, None, None,
+                     None))(al, x0, xs, us, K, kff, fs, feasible,
+                            refs_run, ref_T)
+
+    @rollout.def_vmap
+    def _rule(axis_size, in_batched, x0, xs, us, K, kff, fs, feasible,
+              refs_run, ref_T):
+        def bcast(a, b):
+            return jax.tree.map(
+                lambda l, lb: l if lb else jnp.broadcast_to(
+                    l[None], (axis_size,) + l.shape), a, b)
+
+        args = [bcast(a, b) for a, b in zip(
+            (x0, xs, us, K, kff, fs, feasible, refs_run, ref_T),
+            in_batched)]
+        out = _pallas_rollout_batched(
+            *args, calc=knot.calc, term_calc=knot.term_calc,
+            n_alphas=n_alphas, u_lb=knot.u_lb, u_ub=knot.u_ub,
+            use_box=use_box, interpret=_resolve_interpret())
+        return out, (True, True, True)
+
+    return rollout
