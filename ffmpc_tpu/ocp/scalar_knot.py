@@ -63,11 +63,30 @@ def _assemble_cost_s(spec, res: Dict[str, list], dt_scale: float,
     return total
 
 
+def _arccos_newton(c):
+    """arccos from supported-everywhere primitives (sqrt/sin/cos/where).
+
+    Mosaic (Pallas TPU) has no acos/atan lowering, and the scalar knot
+    calc runs verbatim inside the fused rollout kernel
+    (solver/rollout_pallas.py).  Polynomial seed (Abramowitz-Stegun
+    4.4.45) + 3 Newton steps on cos(t) = c converges to machine
+    precision — numerically indistinguishable from libm acos for every
+    parity tolerance in the suite."""
+    a = jnp.abs(c)
+    t = jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) * (
+        1.5707288 + a * (-0.2121144 + a * (0.0742610 + a * (-0.0187293))))
+    t = jnp.where(c < 0, np.pi - t, t)
+    for _ in range(3):
+        s = jnp.sin(t)
+        t = t + (jnp.cos(t) - c) / jnp.maximum(s, 1e-30)
+    return t
+
+
 def _log3_s(A):
     """Scalar SO(3) log map (matches core.spatial.log3)."""
     tr = sadd(A[0][0], A[1][1], A[2][2])
     c = jnp.clip(smul(0.5, ssub(tr, 1.0)), -1.0, 1.0)
-    theta = jnp.arccos(c)
+    theta = _arccos_newton(c)
     w = [smul(0.5, ssub(A[2][1], A[1][2])),
          smul(0.5, ssub(A[0][2], A[2][0])),
          smul(0.5, ssub(A[1][0], A[0][1]))]

@@ -51,6 +51,12 @@ def _row(A, k):
     return jax.lax.slice_in_dim(A, k, k + 1, axis=0)
 
 
+# Static-slice contractions (traced size ~ 4 ops per k): used for the
+# small nu-wide contractions and everything inside the box-QP loop body.
+# Fully unrolling the nx-wide (21^3) chains as well made the traced body
+# large enough that the Mosaic remote compiler timed out — those run as
+# ref-reading fori_loops inside the kernel instead (dynamic slicing is
+# supported on REFS, not on values).
 def _mm(A, B):
     """C[i,j] = sum_k A[i,k] B[k,j];  A: (i,k,Bt), B: (k,j,Bt)."""
     return sum(_col(A, k) * _row(B, k) for k in range(A.shape[1]))
@@ -59,7 +65,6 @@ def _mm(A, B):
 def _mmT(A, B):
     """C[i,j] = sum_k A[k,i] B[k,j];  A: (k,i,Bt), B: (k,j,Bt)."""
     ni, Bt = A.shape[1], A.shape[2]
-    # (1, i, Bt) -> (i, 1, Bt): row-major-preserving reshape, not transpose
     return sum(_row(A, k).reshape(ni, 1, Bt) * _row(B, k)
                for k in range(A.shape[0]))
 
@@ -150,15 +155,18 @@ def _masked_spd(Q, free, reg):
 
 def _boxqp_channels(Q, q, lb, ub, iters, reg):
     """Projected-Newton box QP, channel layout (mirror of boxqp.boxqp).
-    Q: (n,n,Bt), q/lb/ub: (n,Bt).  Returns (x, free)."""
+    Q: (n,n,Bt), q/lb/ub: (n,Bt).  Returns (x, free).
+
+    The Newton iterations run under lax.fori_loop (body traced once) —
+    unrolling 8 of them made the kernel body large enough to break the
+    Mosaic remote compiler."""
     dtype = Q.dtype
     eps = jnp.asarray(1e-9, dtype)
-    x = jnp.clip(jnp.zeros_like(q), lb, ub)
 
     def obj(c):
         return 0.5 * jnp.sum(c * _mv(Q, c), axis=0) + jnp.sum(q * c, axis=0)
 
-    for _ in range(iters):
+    def body(_, x):
         g = q + _mv(Q, x)
         lo = (x <= lb + eps) & (g > 0)
         hi = (x >= ub - eps) & (g < 0)
@@ -172,7 +180,10 @@ def _boxqp_channels(Q, q, lb, ub, iters, reg):
         xn = cands[0]
         for i in range(1, 4):
             xn = jnp.where(best == i, cands[i], xn)
-        x = xn
+        return xn
+
+    x = jax.lax.fori_loop(0, iters, body,
+                          jnp.clip(jnp.zeros_like(q), lb, ub))
     g = q + _mv(Q, x)
     lo = (x <= lb + eps) & (g > 0)
     hi = (x >= ub - eps) & (g < 0)
@@ -198,6 +209,11 @@ class _Off(NamedTuple):
     total: int
 
 
+def _pad8(n: int) -> int:
+    """DMA slice shapes must be sublane-aligned (multiples of 8 for f32)."""
+    return ((n + 7) // 8) * 8
+
+
 def _offsets(nx, nu) -> _Off:
     o = {}
     c = 0
@@ -214,7 +230,8 @@ def _offsets(nx, nu) -> _Off:
 # ---------------------------------------------------------------------------
 
 def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
-                     scal_ref, scr, kstage, kffstage, vxxstage, sems,
+                     scal_ref, scr, kstage, kffstage, vxxstage, wstage,
+                     u2stage, vxstage, sems,
                      *, nx, nu, N, Bt, boxqp_iters, kgain_reg):
     off = _offsets(nx, nu)
     dtype = term_ref.dtype
@@ -234,8 +251,19 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     Vxx = LxxT + dm_x * xreg
     Vx = LxT + _mv(Vxx, fsN)
 
-    # store terminal Vxx at slot N
-    vxxstage[:, :] = Vxx.reshape(nx * nx, Bt)
+    # zero the stage padding rows once (stages are 8-row-aligned; DMA
+    # copies whole blocks, padding sliced off outside the kernel)
+    kstage[:, :] = jnp.zeros_like(kstage)
+    kffstage[:, :] = jnp.zeros_like(kffstage)
+    vxxstage[:, :] = jnp.zeros_like(vxxstage)
+
+    # Vx/Vxx live in VMEM scratch across knot steps: the nx-wide (21^3)
+    # contractions read their rows under fori_loop (dynamic slicing is
+    # supported on refs, not on values), keeping the traced body small —
+    # fully unrolled they blow past the Mosaic remote compiler's budget.
+    # Vxx is symmetric, so "column k" reads are row-k reads.
+    vxxstage[0:nx * nx, :] = Vxx.reshape(nx * nx, Bt)
+    vxstage[0:nx, :] = Vx
     cp = pltpu.make_async_copy(
         vxxstage, vxxout_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[2])
     cp.start()
@@ -244,16 +272,50 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     dg0 = -jnp.sum(Vx * fsN, axis=0)
     dq0 = jnp.sum(fsN * _mv(Vxx, fsN), axis=0)
 
+    def _mm_vxx_scr(x_off, ncols):
+        """C[i,j] = sum_k Vxx[i,k] X[k,j] with Vxx from vxxstage (sym)."""
+        def body(k, C):
+            vrow = vxxstage[pl.ds(k * nx, nx), :]
+            xrow = scr[pl.ds(x_off + k * ncols, ncols), :]
+            return C + vrow[:, None, :] * xrow[None, :, :]
+        return jax.lax.fori_loop(
+            0, nx, body, jnp.zeros((nx, ncols, Bt), dtype))
+
+    def _mmT_scr_stage(a_off, na, s_ref, ns):
+        """C[i,j] = sum_k A[k,i] S[k,j]; A rows from scr, S rows from a
+        stage ref."""
+        def body(k, C):
+            ar = scr[pl.ds(a_off + k * na, na), :]
+            sr = s_ref[pl.ds(k * ns, ns), :]
+            return C + ar[:, None, :] * sr[None, :, :]
+        return jax.lax.fori_loop(
+            0, nx, body, jnp.zeros((na, ns, Bt), dtype))
+
+    def _mvT_scr_vx(a_off, na):
+        """y[i] = sum_k A[k,i] Vx[k]; A rows from scr, Vx from vxstage."""
+        def body(k, y):
+            ar = scr[pl.ds(a_off + k * na, na), :]
+            vk = vxstage[pl.ds(k, 1), :]
+            return y + ar * vk
+        return jax.lax.fori_loop(0, nx, body, jnp.zeros((na, Bt), dtype))
+
+    def _mv_vxx_fs(fs_off):
+        """y[i] = sum_k Vxx[i,k] fs[k]; Vxx rows from vxxstage (sym),
+        fs channels from scr."""
+        def body(k, y):
+            vrow = vxxstage[pl.ds(k * nx, nx), :]
+            fk = scr[pl.ds(fs_off + k, 1), :]
+            return y + vrow * fk
+        return jax.lax.fori_loop(0, nx, body, jnp.zeros((nx, Bt), dtype))
+
     def step(it, carry):
-        Vx, Vxx, dg, dq, qu2, bad = carry
+        dg, dq, qu2, bad = carry
         t = N - 1 - it
         cin = pltpu.make_async_copy(
             knots_hbm.at[t, :, pl.ds(b0, Bt)], scr, sems.at[0])
         cin.start()
         cin.wait()
 
-        Fx = scr[off.Fx:off.Fx + nx * nx, :].reshape(nx, nx, Bt)
-        Fu = scr[off.Fu:off.Fu + nx * nu, :].reshape(nx, nu, Bt)
         Lx = scr[off.Lx:off.Lx + nx, :]
         Lu = scr[off.Lu:off.Lu + nu, :]
         Lxx = scr[off.Lxx:off.Lxx + nx * nx, :].reshape(nx, nx, Bt)
@@ -263,13 +325,15 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         lb = scr[off.lb:off.lb + nu, :]
         ub = scr[off.ub:off.ub + nu, :]
 
-        W = _mm(Vxx, Fx)                      # (nx, nx, Bt)
-        U = _mm(Vxx, Fu)                      # (nx, nu, Bt)
-        Qxx = Lxx + _mmT(Fx, W)
-        Qxu = Lxu + _mmT(Fx, U)
-        Quu = Luu + _mmT(Fu, U) + dm_u * ureg
-        Qx = Lx + _mvT(Fx, Vx)
-        Qu = Lu + _mvT(Fu, Vx)
+        W = _mm_vxx_scr(off.Fx, nx)           # Vxx @ Fx  (nx, nx, Bt)
+        U = _mm_vxx_scr(off.Fu, nu)           # Vxx @ Fu  (nx, nu, Bt)
+        wstage[0:nx * nx, :] = W.reshape(nx * nx, Bt)
+        u2stage[0:nx * nu, :] = U.reshape(nx * nu, Bt)
+        Qxx = Lxx + _mmT_scr_stage(off.Fx, nx, wstage, nx)
+        Qxu = Lxu + _mmT_scr_stage(off.Fx, nx, u2stage, nu)
+        Quu = Luu + _mmT_scr_stage(off.Fu, nu, u2stage, nu) + dm_u * ureg
+        Qx = Lx + _mvT_scr_vx(off.Fx, nx)
+        Qu = Lu + _mvT_scr_vx(off.Fu, nu)
 
         xq, free = _boxqp_channels(Quu, Qu, lb, ub, boxqp_iters, 1e-9)
         kff = -xq
@@ -288,20 +352,24 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
 
         Quuk = _mv(Quu, kff)
         Vx_new = Qx + _mvT(K, Quuk - 2.0 * Qu)
-        Vxx_new = Qxx - _mm(Qxu, K)
+        Vxx_new = Qxx - _mm(Qxu, K)           # nu-contraction: static
         Vxx_newT = jnp.concatenate([_col(Vxx_new, i).reshape(1, nx, Bt)
                                     for i in range(nx)])
         Vxx_new = 0.5 * (Vxx_new + Vxx_newT) + dm_x * xreg
-        Vx_new = Vx_new + _mv(Vxx_new, fs_t)
+
+        # stash Vxx_new first so the gap-deflection matvec can read its
+        # rows (symmetric) through the ref
+        vxxstage[0:nx * nx, :] = Vxx_new.reshape(nx * nx, Bt)
+        Vfs = _mv_vxx_fs(off.fs)              # Vxx_new @ fs_t
+        Vx_new = Vx_new + Vfs
+        vxstage[0:nx, :] = Vx_new
 
         dg = dg + jnp.sum(Qu * kff, axis=0) - jnp.sum(Vx_new * fs_t, axis=0)
-        dq = dq - jnp.sum(kff * Quuk, axis=0) + jnp.sum(
-            fs_t * _mv(Vxx_new, fs_t), axis=0)
+        dq = dq - jnp.sum(kff * Quuk, axis=0) + jnp.sum(fs_t * Vfs, axis=0)
         qu2 = qu2 + jnp.sum(Qu * Qu, axis=0)
 
-        kstage[:, :] = K.reshape(nu * nx, Bt)
-        kffstage[:, :] = kff
-        vxxstage[:, :] = Vxx_new.reshape(nx * nx, Bt)
+        kstage[0:nu * nx, :] = K.reshape(nu * nx, Bt)
+        kffstage[0:nu, :] = kff
         c1 = pltpu.make_async_copy(
             kstage, kout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[1])
         c2 = pltpu.make_async_copy(
@@ -314,12 +382,13 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         c1.wait()
         c2.wait()
         c3.wait()
-        return (Vx_new, Vxx_new, dg, dq, qu2, bad)
+        return (dg, dq, qu2, bad)
 
     zero = jnp.zeros((Bt,), dtype)
-    carry0 = (Vx, Vxx, dg0, dq0, zero, jnp.zeros((Bt,), jnp.bool_))
-    _, _, dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
+    carry0 = (dg0, dq0, zero, jnp.zeros((Bt,), jnp.bool_))
+    dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
 
+    scal_ref[:, :] = jnp.zeros_like(scal_ref)
     scal_ref[0, :] = dg
     scal_ref[1, :] = dq
     scal_ref[2, :] = qu2
@@ -354,6 +423,10 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
         flat2(Fx, nx * nx), flat2(Fu, nx * nu), flat2(Lx, nx), flat2(Lu, nu),
         flat2(Lxx, nx * nx), flat2(Lxu, nx * nu), flat2(Luu, nu * nu),
         flat2(fs_scaled[:, :N], nx), flat2(lb, nu), flat2(ub, nu)], axis=1)
+    Cp = _pad8(knots.shape[1])
+    if Cp != knots.shape[1]:
+        knots = jnp.concatenate(
+            [knots, jnp.zeros((N, Cp - knots.shape[1], Bp), dtype)], axis=1)
 
     term = jnp.concatenate([
         jnp.moveaxis(pad(LxT), 0, -1),
@@ -361,6 +434,10 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
         jnp.moveaxis(pad(fs_scaled[:, N]), 0, -1),
         jnp.moveaxis(pad(xreg)[:, None], 0, -1),
         jnp.moveaxis(pad(ureg)[:, None], 0, -1)], axis=0)
+    if _pad8(term.shape[0]) != term.shape[0]:
+        term = jnp.concatenate(
+            [term, jnp.zeros((_pad8(term.shape[0]) - term.shape[0], Bp),
+                             dtype)], axis=0)
     C2 = term.shape[0]
 
     grid = (Bp // Bt,)
@@ -380,29 +457,31 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((4, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, nu * nx, Bp), dtype),
-            jax.ShapeDtypeStruct((N, nu, Bp), dtype),
-            jax.ShapeDtypeStruct((N + 1, nx * nx, Bp), dtype),
-            jax.ShapeDtypeStruct((4, Bp), dtype),
+            jax.ShapeDtypeStruct((N, _pad8(nu * nx), Bp), dtype),
+            jax.ShapeDtypeStruct((N, _pad8(nu), Bp), dtype),
+            jax.ShapeDtypeStruct((N + 1, _pad8(nx * nx), Bp), dtype),
+            jax.ShapeDtypeStruct((8, Bp), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((off.total, Bt), dtype),
-            pltpu.VMEM((nu * nx, Bt), dtype),
-            pltpu.VMEM((nu, Bt), dtype),
-            pltpu.VMEM((nx * nx, Bt), dtype),
+            pltpu.VMEM((Cp, Bt), dtype),
+            pltpu.VMEM((_pad8(nu * nx), Bt), dtype),
+            pltpu.VMEM((_pad8(nu), Bt), dtype),
+            pltpu.VMEM((_pad8(nx * nx), Bt), dtype),
+            pltpu.VMEM((_pad8(nx * nx), Bt), dtype),
+            pltpu.VMEM((_pad8(nx * nu), Bt), dtype),
+            pltpu.VMEM((_pad8(nx), Bt), dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(100e6)),
     )(knots, term)
 
-    K = jnp.moveaxis(K_f, -1, 0)[:B].reshape(B, N, nu, nx)
-    kff = jnp.moveaxis(kff_f, -1, 0)[:B]
-    Vxx_all = jnp.moveaxis(vxx_f, -1, 0)[:B].reshape(B, N + 1, nx, nx)
+    K = jnp.moveaxis(K_f[:, :nu * nx], -1, 0)[:B].reshape(B, N, nu, nx)
+    kff = jnp.moveaxis(kff_f[:, :nu], -1, 0)[:B]
+    Vxx_all = jnp.moveaxis(vxx_f[:, :nx * nx], -1, 0)[:B].reshape(
+        B, N + 1, nx, nx)
     dg, dq, qu2, badf = scal[0, :B], scal[1, :B], scal[2, :B], scal[3, :B]
     return K, kff, qu2, dg, dq, badf > 0.5, Vxx_all
 

@@ -32,6 +32,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pad8(n: int) -> int:
+    """DMA slice shapes must be sublane-aligned (multiples of 8 for f32)."""
+    return ((n + 7) // 8) * 8
+
+
 def _leaf_sizes(tree):
     leaves, treedef = jax.tree.flatten(tree)
     shapes = [l.shape for l in leaves]
@@ -77,6 +82,9 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
 
     x = jnp.broadcast_to(x0[:, None, :], (nx, A, Bt))
     cost_acc = jnp.zeros((A, Bt), dtype)
+    # zero the stage padding rows once (8-row-aligned DMA blocks)
+    xstage[:, :] = jnp.zeros_like(xstage)
+    ustage[:, :] = jnp.zeros_like(ustage)
 
     n_ref = len(ref_sizes)
     ref_total = sum(ref_sizes)
@@ -108,7 +116,7 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
         ref, x_nom, u_nom, K, kff, fs_next = unpack_knot(scr[:])
 
         # stash the pre-step state: xs_try[t] = x
-        xstage[:, :] = x.reshape(nx * A, Bt)
+        xstage[0:nx * A, :] = x.reshape(nx * A, Bt)
         cx = pltpu.make_async_copy(
             xstage, xs_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[1])
         cx.start()
@@ -130,7 +138,7 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
         xnext, cost = calc(ref, x, u)                        # scalar chain
         xnext = xnext + gap_scale[None, :, :] * fs_next[:, None, :]
 
-        ustage[:, :] = u.reshape(nu * A, Bt)
+        ustage[0:nu * A, :] = u.reshape(nu * A, Bt)
         cu = pltpu.make_async_copy(
             ustage, us_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[2])
         cu.start()
@@ -140,14 +148,15 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
 
     x, cost_acc = jax.lax.fori_loop(0, N, step, (x, cost_acc))
 
-    xstage[:, :] = x.reshape(nx * A, Bt)
+    xstage[0:nx * A, :] = x.reshape(nx * A, Bt)
     cx = pltpu.make_async_copy(
         xstage, xs_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[1])
     cx.start()
     cx.wait()
 
     cost_T = term_calc(ref_T, x)                             # (A, Bt)
-    cost_ref[:, :] = cost_acc + cost_T
+    cost_ref[:, :] = jnp.zeros_like(cost_ref)
+    cost_ref[0:A, :] = cost_acc + cost_T
 
 
 def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
@@ -183,6 +192,10 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
     knots = jnp.concatenate(
         packed + [flat2(xs[:, :N], nx), flat2(us, nu), flat2(K, nu * nx),
                   flat2(kff, nu), flat2(fs[:, 1:], nx)], axis=1)
+    if _pad8(knots.shape[1]) != knots.shape[1]:
+        knots = jnp.concatenate(
+            [knots, jnp.zeros((N, _pad8(knots.shape[1]) - knots.shape[1],
+                               Bp), dtype)], axis=1)
 
     refT_leaves, refT_treedef, refT_shapes_b, refT_sizes = _leaf_sizes(ref_T)
     refT_shapes = [s[1:] for s in refT_shapes_b]
@@ -194,6 +207,10 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
     glob = jnp.concatenate(
         [gflat(x0, nx), gflat(feasible.astype(dtype)[:, None], 1)]
         + [gflat(l, sz) for l, sz in zip(refT_leaves, refT_sizes)], axis=0)
+    if _pad8(glob.shape[0]) != glob.shape[0]:
+        glob = jnp.concatenate(
+            [glob, jnp.zeros((_pad8(glob.shape[0]) - glob.shape[0], Bp),
+                             dtype)], axis=0)
     CG = glob.shape[0]
 
     kernel = functools.partial(
@@ -215,29 +232,31 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((A, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_pad8(A), Bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N + 1, nx * A, Bp), dtype),
-            jax.ShapeDtypeStruct((N, nu * A, Bp), dtype),
-            jax.ShapeDtypeStruct((A, Bp), dtype),
+            jax.ShapeDtypeStruct((N + 1, _pad8(nx * A), Bp), dtype),
+            jax.ShapeDtypeStruct((N, _pad8(nu * A), Bp), dtype),
+            jax.ShapeDtypeStruct((_pad8(A), Bp), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((C, Bt), dtype),
-            pltpu.VMEM((nx * A, Bt), dtype),
-            pltpu.VMEM((nu * A, Bt), dtype),
+            pltpu.VMEM((_pad8(nx * A), Bt), dtype),
+            pltpu.VMEM((_pad8(nu * A), Bt), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
     )(knots, glob)
 
     # (N+1, nx*A, Bp) -> (B, A, N+1, nx)
-    xs_tries = jnp.moveaxis(xs_f, -1, 0)[:B].reshape(B, N + 1, nx, A)
+    xs_tries = jnp.moveaxis(xs_f[:, :nx * A], -1, 0)[:B].reshape(
+        B, N + 1, nx, A)
     xs_tries = jnp.moveaxis(xs_tries, 3, 1)
-    us_tries = jnp.moveaxis(us_f, -1, 0)[:B].reshape(B, N, nu, A)
+    us_tries = jnp.moveaxis(us_f[:, :nu * A], -1, 0)[:B].reshape(
+        B, N, nu, A)
     us_tries = jnp.moveaxis(us_tries, 3, 1)
-    cost_tries = jnp.moveaxis(costs, -1, 0)[:B]              # (B, A)
+    cost_tries = jnp.moveaxis(costs[:A], -1, 0)[:B]          # (B, A)
     return xs_tries, us_tries, cost_tries
 
 

@@ -45,8 +45,16 @@ def main():
         jnp.asarray(make_vertical_down_R(), dtype), y_ref=y0, dtype=dtype)
 
     def derive(y0p):
-        xs = jnp.tile(y0p, (N + 1, 1))
+        # dynamics-consistent warm start (small gaps): tiled-state warm
+        # starts make the f32 value recursion overflow over 40 knots
         us = jnp.tile(tau_g, (N, 1))
+
+        def roll(x, inp):
+            ref, u = inp
+            xn, _ = knot.calc(ref, x, u)
+            return xn, x
+        xN, xs_run = jax.lax.scan(roll, y0p, (refs_run, us))
+        xs = jnp.concatenate([xs_run, xN[None]])
         derivs = jax.vmap(knot.diff)(refs_run, xs[:-1], us)
         _, LxT, LxxT = knot.term_diff(ref_T, xs[-1])
         fs = jnp.concatenate([(y0p - xs[0])[None], derivs.xnext - xs[1:]])
