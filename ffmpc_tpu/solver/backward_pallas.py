@@ -242,8 +242,10 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     LxT = term_ref[0:nx, :]
     LxxT = term_ref[nx:nx + nx * nx, :].reshape(nx, nx, Bt)
     fsN = term_ref[nx + nx * nx:2 * nx + nx * nx, :]
-    xreg = term_ref[2 * nx + nx * nx, :]
-    ureg = term_ref[2 * nx + nx * nx + 1, :]
+    # scalars kept 2-D (1, Bt): 1-D (Bt,) fori carries / accumulators are
+    # the one pattern the bisection never cleared with the remote compiler
+    xreg = term_ref[2 * nx + nx * nx:2 * nx + nx * nx + 1, :]
+    ureg = term_ref[2 * nx + nx * nx + 1:2 * nx + nx * nx + 2, :]
 
     dm_x = _diag_mask(nx, dtype)
     dm_u = _diag_mask(nu, dtype)
@@ -269,8 +271,8 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     cp.start()
     cp.wait()
 
-    dg0 = -jnp.sum(Vx * fsN, axis=0)
-    dq0 = jnp.sum(fsN * _mv(Vxx, fsN), axis=0)
+    dg0 = -jnp.sum(Vx * fsN, axis=0, keepdims=True)
+    dq0 = jnp.sum(fsN * _mv(Vxx, fsN), axis=0, keepdims=True)
 
     def _mm_vxx_scr(x_off, ncols):
         """C[i,j] = sum_k Vxx[i,k] X[k,j] with Vxx from vxxstage (sym)."""
@@ -346,9 +348,10 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         Qm = _masked_spd(Quu, free, kgain_reg)
         K = _chol_solve_mat(_chol(Qm), rhs)           # (nu, nx, Bt)
 
-        finite = jnp.isfinite(jnp.sum(kff, axis=0)) & jnp.isfinite(
-            jnp.sum(K.reshape(nu * nx, Bt), axis=0))
-        bad = bad | (~finite)
+        finite = (jnp.isfinite(jnp.sum(kff, axis=0, keepdims=True))
+                  & jnp.isfinite(jnp.sum(K.reshape(nu * nx, Bt), axis=0,
+                                         keepdims=True)))
+        bad = jnp.maximum(bad, 1.0 - finite.astype(dtype))
 
         Quuk = _mv(Quu, kff)
         Vx_new = Qx + _mvT(K, Quuk - 2.0 * Qu)
@@ -364,9 +367,11 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         Vx_new = Vx_new + Vfs
         vxstage[0:nx, :] = Vx_new
 
-        dg = dg + jnp.sum(Qu * kff, axis=0) - jnp.sum(Vx_new * fs_t, axis=0)
-        dq = dq - jnp.sum(kff * Quuk, axis=0) + jnp.sum(fs_t * Vfs, axis=0)
-        qu2 = qu2 + jnp.sum(Qu * Qu, axis=0)
+        dg = dg + jnp.sum(Qu * kff, axis=0, keepdims=True) - jnp.sum(
+            Vx_new * fs_t, axis=0, keepdims=True)
+        dq = dq - jnp.sum(kff * Quuk, axis=0, keepdims=True) + jnp.sum(
+            fs_t * Vfs, axis=0, keepdims=True)
+        qu2 = qu2 + jnp.sum(Qu * Qu, axis=0, keepdims=True)
 
         kstage[0:nu * nx, :] = K.reshape(nu * nx, Bt)
         kffstage[0:nu, :] = kff
@@ -384,15 +389,15 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         c3.wait()
         return (dg, dq, qu2, bad)
 
-    zero = jnp.zeros((Bt,), dtype)
-    carry0 = (dg0, dq0, zero, jnp.zeros((Bt,), jnp.bool_))
+    zero = jnp.zeros((1, Bt), dtype)
+    carry0 = (dg0, dq0, zero, zero)
     dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
 
     scal_ref[:, :] = jnp.zeros_like(scal_ref)
-    scal_ref[0, :] = dg
-    scal_ref[1, :] = dq
-    scal_ref[2, :] = qu2
-    scal_ref[3, :] = bad.astype(dtype)
+    scal_ref[0:1, :] = dg
+    scal_ref[1:2, :] = dq
+    scal_ref[2:3, :] = qu2
+    scal_ref[3:4, :] = bad
 
 
 def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,

@@ -31,6 +31,44 @@ def main():
     C = 1288  # aligned
     dtype = jnp.float32
 
+    def kernel6(knots_hbm, term_ref, out_ref, big_hbm, k_hbm, kff_hbm,
+                scr, ostage, kstage, kffstage, sems):
+        """Stage 5 + the full kernel's exact I/O signature: a VMEM-block
+        second input, three ANY outputs written per knot, 4 semaphores."""
+        from ffmpc_tpu.solver.backward_pallas import _mm, _mmT, _mv, _mvT
+        ostage[:, :] = jnp.zeros_like(ostage)
+        kstage[:, :] = jnp.zeros_like(kstage)
+        kffstage[:, :] = jnp.zeros_like(kffstage)
+        base = term_ref[0:nx, :]
+
+        def step(it, acc):
+            t = N - 1 - it
+            cin = pltpu.make_async_copy(
+                knots_hbm.at[t, :, pl.ds(0, Bt)], scr, sems.at[0])
+            cin.start()
+            cin.wait()
+            Fu = scr[nx * nx:nx * nx + nx * nu, :].reshape(nx, nu, Bt) * 0.1
+            v = _mvT(Fu, scr[0:nx, :] + base)
+            ostage[0:nx * nx, :] = scr[0:nx * nx, :]
+            kstage[0:nu * nx, :] = scr[0:nu * nx, :]
+            kffstage[0:nu, :] = v
+            c1 = pltpu.make_async_copy(
+                ostage, big_hbm.at[t, :, pl.ds(0, Bt)], sems.at[1])
+            c2 = pltpu.make_async_copy(
+                kstage, k_hbm.at[t, :, pl.ds(0, Bt)], sems.at[2])
+            c3 = pltpu.make_async_copy(
+                kffstage, kff_hbm.at[t, :, pl.ds(0, Bt)], sems.at[3])
+            c1.start()
+            c2.start()
+            c3.start()
+            c1.wait()
+            c2.wait()
+            c3.wait()
+            return acc + v[0:1, :] * 0.0 + scr[0:8, :]
+
+        acc = jax.lax.fori_loop(0, N, step, jnp.zeros((8, Bt), dtype))
+        out_ref[:, :] = acc
+
     def kernel5(knots_hbm, out_ref, big_hbm, scr, ostage, sems):
         """The real backward step's heavy structure: (nx,nx,Bt) fori
         carry, the 21^3 matmul chain, masked 21-rhs gain solve, in-loop
@@ -128,6 +166,38 @@ def main():
     knots = jnp.asarray(rng.normal(size=(N, C, Bt)), dtype)
     NXXP = 448
     for stage in stages:
+        if stage == 6:
+            try:
+                f6 = pl.pallas_call(
+                    kernel6,
+                    grid=(1,),
+                    in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                              pl.BlockSpec((64, Bt), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=[pl.BlockSpec((8, Bt), lambda i: (0, i),
+                                            memory_space=pltpu.VMEM),
+                               pl.BlockSpec(memory_space=pl.ANY),
+                               pl.BlockSpec(memory_space=pl.ANY),
+                               pl.BlockSpec(memory_space=pl.ANY)],
+                    out_shape=[jax.ShapeDtypeStruct((8, Bt), dtype),
+                               jax.ShapeDtypeStruct((N, NXXP, Bt), dtype),
+                               jax.ShapeDtypeStruct((N, 152, Bt), dtype),
+                               jax.ShapeDtypeStruct((N, 8, Bt), dtype)],
+                    scratch_shapes=[pltpu.VMEM((C, Bt), dtype),
+                                    pltpu.VMEM((NXXP, Bt), dtype),
+                                    pltpu.VMEM((152, Bt), dtype),
+                                    pltpu.VMEM((8, Bt), dtype),
+                                    pltpu.SemaphoreType.DMA((4,))],
+                )
+                term = jnp.asarray(rng.normal(size=(64, Bt)), dtype)
+                out = jax.jit(f6)(knots, term)
+                jax.block_until_ready(out)
+                print(f"stage 6: OK sum={float(out[0].sum()):.3f}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).split("\n")[0][:160]
+                print(f"stage 6: FAIL {type(e).__name__}: {msg}", flush=True)
+            continue
         try:
             f = pl.pallas_call(
                 kernel5 if stage == 5 else functools.partial(kernel,
