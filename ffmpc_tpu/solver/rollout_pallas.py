@@ -66,8 +66,8 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
 
     # ---- global block: x0 (nx), feasible (1), ref_T leaves ----
     x0 = glob_ref[0:nx, :]                           # (nx, Bt)
-    feasible = glob_ref[nx, :]                       # (Bt,) 0/1
-    off = nx + 1
+    feasible = glob_ref[nx:nx + 1, :]                # (1, Bt) 0/1 — keep
+    off = nx + 1                                     # per-lane scalars 2-D
     refT_leaves = []
     for shp, size in zip(refT_shapes, refT_sizes):
         v = glob_ref[off:off + size, :]
@@ -77,8 +77,9 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
 
     # alpha-dependent rows built per-alpha from float literals — pallas
     # kernels cannot materialize non-literal array constants
-    one = 1.0 - feasible                                       # (Bt,)
-    gap_scale = jnp.stack([one * (a - 1.0) for a in alphas])   # (A, Bt)
+    one = 1.0 - feasible                                       # (1, Bt)
+    gap_scale = jnp.concatenate(
+        [one * (a - 1.0) for a in alphas], axis=0)             # (A, Bt)
 
     x = jnp.broadcast_to(x0[:, None, :], (nx, A, Bt))
     cost_acc = jnp.zeros((A, Bt), dtype)
