@@ -215,11 +215,16 @@ def _pad8(n: int) -> int:
 
 
 def _offsets(nx, nu) -> _Off:
+    """Channel layout with 8-aligned row strides: matrices are packed with
+    their last axis padded to a multiple of 8 so in-kernel dynamic row
+    reads (ref[pl.ds(off + k*stride, stride)]) land on sublane-aligned
+    offsets — unaligned dynamic VMEM reads return garbage silently."""
+    sx, su = _pad8(nx), _pad8(nu)
     o = {}
     c = 0
-    for name, size in (("Fx", nx * nx), ("Fu", nx * nu), ("Lx", nx),
-                       ("Lu", nu), ("Lxx", nx * nx), ("Lxu", nx * nu),
-                       ("Luu", nu * nu), ("fs", nx), ("lb", nu), ("ub", nu)):
+    for name, size in (("Fx", nx * sx), ("Fu", nx * su), ("Lx", sx),
+                       ("Lu", su), ("Lxx", nx * sx), ("Lxu", nx * su),
+                       ("Luu", nu * su), ("fs", sx), ("lb", su), ("ub", su)):
         o[name] = c
         c += size
     return _Off(total=c, **o)
@@ -231,9 +236,10 @@ def _offsets(nx, nu) -> _Off:
 
 def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
                      scal_ref, scr, kstage, kffstage, vxxstage, wstage,
-                     u2stage, vxstage, sems,
+                     u2stage, vsym, sems,
                      *, nx, nu, N, Bt, boxqp_iters, kgain_reg):
     off = _offsets(nx, nu)
+    sx, su = _pad8(nx), _pad8(nu)
     dtype = term_ref.dtype
     ib = pl.program_id(0)
     b0 = pl.multiple_of(ib * Bt, Bt)
@@ -258,14 +264,22 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     kstage[:, :] = jnp.zeros_like(kstage)
     kffstage[:, :] = jnp.zeros_like(kffstage)
     vxxstage[:, :] = jnp.zeros_like(vxxstage)
+    vsym[:, :] = jnp.zeros_like(vsym)
 
-    # Vx/Vxx live in VMEM scratch across knot steps: the nx-wide (21^3)
-    # contractions read their rows under fori_loop (dynamic slicing is
-    # supported on refs, not on values), keeping the traced body small —
-    # fully unrolled they blow past the Mosaic remote compiler's budget.
+    def _pad_cols(M, n_to):
+        n_from = M.shape[1]
+        if n_from == n_to:
+            return M
+        return jnp.concatenate(
+            [M, jnp.zeros((M.shape[0], n_to - n_from, Bt), dtype)], axis=1)
+
+    # Vxx lives in the `vsym` scratch across knot steps with an 8-aligned
+    # row stride: the nx-wide (21^3) contractions read rows under
+    # fori_loop (dynamic slicing works on refs, not values; UNALIGNED
+    # dynamic VMEM reads return garbage silently, hence the stride).
     # Vxx is symmetric, so "column k" reads are row-k reads.
+    vsym[:, :] = _pad_cols(Vxx, sx).reshape(nx * sx, Bt)
     vxxstage[0:nx * nx, :] = Vxx.reshape(nx * nx, Bt)
-    vxstage[0:nx, :] = Vx
     cp = pltpu.make_async_copy(
         vxxstage, vxxout_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[2])
     cp.start()
@@ -274,68 +288,59 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     dg0 = -jnp.sum(Vx * fsN, axis=0, keepdims=True)
     dq0 = jnp.sum(fsN * _mv(Vxx, fsN), axis=0, keepdims=True)
 
-    def _mm_vxx_scr(x_off, ncols):
-        """C[i,j] = sum_k Vxx[i,k] X[k,j] with Vxx from vxxstage (sym)."""
+    def _mm_vsym_scr(x_off, xstride):
+        """Cp[i,j] = sum_k Vxx[i,k] X[k,j]; Vxx rows from vsym (symmetric),
+        X rows from scr; result PADDED (sx, xstride, Bt)."""
         def body(k, C):
-            vrow = vxxstage[pl.ds(k * nx, nx), :]
-            xrow = scr[pl.ds(x_off + k * ncols, ncols), :]
+            vrow = vsym[pl.ds(k * sx, sx), :]
+            xrow = scr[pl.ds(x_off + k * xstride, xstride), :]
             return C + vrow[:, None, :] * xrow[None, :, :]
         return jax.lax.fori_loop(
-            0, nx, body, jnp.zeros((nx, ncols, Bt), dtype))
+            0, nx, body, jnp.zeros((sx, xstride, Bt), dtype))
 
-    def _mmT_scr_stage(a_off, na, s_ref, ns):
-        """C[i,j] = sum_k A[k,i] S[k,j]; A rows from scr, S rows from a
-        stage ref."""
+    def _mmT_scr_stage(a_off, astride, s_ref, sstride):
+        """Cp[i,j] = sum_k A[k,i] S[k,j]; A rows from scr, S rows from a
+        stage ref; result PADDED (astride, sstride, Bt)."""
         def body(k, C):
-            ar = scr[pl.ds(a_off + k * na, na), :]
-            sr = s_ref[pl.ds(k * ns, ns), :]
+            ar = scr[pl.ds(a_off + k * astride, astride), :]
+            sr = s_ref[pl.ds(k * sstride, sstride), :]
             return C + ar[:, None, :] * sr[None, :, :]
         return jax.lax.fori_loop(
-            0, nx, body, jnp.zeros((na, ns, Bt), dtype))
-
-    def _mvT_scr_vx(a_off, na):
-        """y[i] = sum_k A[k,i] Vx[k]; A rows from scr, Vx from vxstage."""
-        def body(k, y):
-            ar = scr[pl.ds(a_off + k * na, na), :]
-            vk = vxstage[pl.ds(k, 1), :]
-            return y + ar * vk
-        return jax.lax.fori_loop(0, nx, body, jnp.zeros((na, Bt), dtype))
-
-    def _mv_vxx_fs(fs_off):
-        """y[i] = sum_k Vxx[i,k] fs[k]; Vxx rows from vxxstage (sym),
-        fs channels from scr."""
-        def body(k, y):
-            vrow = vxxstage[pl.ds(k * nx, nx), :]
-            fk = scr[pl.ds(fs_off + k, 1), :]
-            return y + vrow * fk
-        return jax.lax.fori_loop(0, nx, body, jnp.zeros((nx, Bt), dtype))
+            0, nx, body, jnp.zeros((astride, sstride, Bt), dtype))
 
     def step(it, carry):
-        dg, dq, qu2, bad = carry
+        Vx, dg, dq, qu2, bad = carry
         t = N - 1 - it
         cin = pltpu.make_async_copy(
             knots_hbm.at[t, :, pl.ds(b0, Bt)], scr, sems.at[0])
         cin.start()
         cin.wait()
 
+        Fx = scr[off.Fx:off.Fx + nx * sx, :].reshape(nx, sx, Bt)[:, :nx, :]
+        Fu = scr[off.Fu:off.Fu + nx * su, :].reshape(nx, su, Bt)[:, :nu, :]
         Lx = scr[off.Lx:off.Lx + nx, :]
         Lu = scr[off.Lu:off.Lu + nu, :]
-        Lxx = scr[off.Lxx:off.Lxx + nx * nx, :].reshape(nx, nx, Bt)
-        Lxu = scr[off.Lxu:off.Lxu + nx * nu, :].reshape(nx, nu, Bt)
-        Luu = scr[off.Luu:off.Luu + nu * nu, :].reshape(nu, nu, Bt)
+        Lxx = scr[off.Lxx:off.Lxx + nx * sx, :].reshape(
+            nx, sx, Bt)[:, :nx, :]
+        Lxu = scr[off.Lxu:off.Lxu + nx * su, :].reshape(
+            nx, su, Bt)[:, :nu, :]
+        Luu = scr[off.Luu:off.Luu + nu * su, :].reshape(
+            nu, su, Bt)[:, :nu, :]
         fs_t = scr[off.fs:off.fs + nx, :]
         lb = scr[off.lb:off.lb + nu, :]
         ub = scr[off.ub:off.ub + nu, :]
 
-        W = _mm_vxx_scr(off.Fx, nx)           # Vxx @ Fx  (nx, nx, Bt)
-        U = _mm_vxx_scr(off.Fu, nu)           # Vxx @ Fu  (nx, nu, Bt)
-        wstage[0:nx * nx, :] = W.reshape(nx * nx, Bt)
-        u2stage[0:nx * nu, :] = U.reshape(nx * nu, Bt)
-        Qxx = Lxx + _mmT_scr_stage(off.Fx, nx, wstage, nx)
-        Qxu = Lxu + _mmT_scr_stage(off.Fx, nx, u2stage, nu)
-        Quu = Luu + _mmT_scr_stage(off.Fu, nu, u2stage, nu) + dm_u * ureg
-        Qx = Lx + _mvT_scr_vx(off.Fx, nx)
-        Qu = Lu + _mvT_scr_vx(off.Fu, nu)
+        W = _mm_vsym_scr(off.Fx, sx)          # Vxx @ Fx  padded (sx,sx,Bt)
+        U = _mm_vsym_scr(off.Fu, su)          # Vxx @ Fu  padded (sx,su,Bt)
+        wstage[:, :] = W[:nx].reshape(nx * sx, Bt)
+        u2stage[:, :] = U[:nx].reshape(nx * su, Bt)
+        Qxx = Lxx + _mmT_scr_stage(off.Fx, sx, wstage, sx)[:nx, :nx, :]
+        Qxu = Lxu + _mmT_scr_stage(off.Fx, sx, u2stage, su)[:nx, :nu, :]
+        Quu = (Luu + _mmT_scr_stage(off.Fu, su, u2stage, su)[:nu, :nu, :]
+               + dm_u * ureg)
+        # vector-sized contractions: static slices on values compile fine
+        Qx = Lx + _mvT(Fx, Vx)
+        Qu = Lu + _mvT(Fu, Vx)
 
         xq, free = _boxqp_channels(Quu, Qu, lb, ub, boxqp_iters, 1e-9)
         kff = -xq
@@ -360,12 +365,10 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
                                     for i in range(nx)])
         Vxx_new = 0.5 * (Vxx_new + Vxx_newT) + dm_x * xreg
 
-        # stash Vxx_new first so the gap-deflection matvec can read its
-        # rows (symmetric) through the ref
-        vxxstage[0:nx * nx, :] = Vxx_new.reshape(nx * nx, Bt)
-        Vfs = _mv_vxx_fs(off.fs)              # Vxx_new @ fs_t
+        Vfs = _mv(Vxx_new, fs_t)              # static: nx^2 ops only
         Vx_new = Vx_new + Vfs
-        vxstage[0:nx, :] = Vx_new
+        vsym[:, :] = _pad_cols(Vxx_new, sx).reshape(nx * sx, Bt)
+        vxxstage[0:nx * nx, :] = Vxx_new.reshape(nx * nx, Bt)
 
         dg = dg + jnp.sum(Qu * kff, axis=0, keepdims=True) - jnp.sum(
             Vx_new * fs_t, axis=0, keepdims=True)
@@ -387,11 +390,11 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         c1.wait()
         c2.wait()
         c3.wait()
-        return (dg, dq, qu2, bad)
+        return (Vx_new, dg, dq, qu2, bad)
 
     zero = jnp.zeros((1, Bt), dtype)
-    carry0 = (dg0, dq0, zero, zero)
-    dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
+    carry0 = (Vx, dg0, dq0, zero, zero)
+    _, dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
 
     scal_ref[:, :] = jnp.zeros_like(scal_ref)
     scal_ref[0:1, :] = dg
@@ -420,18 +423,30 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
         reps = jnp.broadcast_to(a[-1:], (Bp - a.shape[0],) + a.shape[1:])
         return jnp.concatenate([a, reps], axis=0)
 
-    # pack per-knot channels: (N, C, Bp)
+    # pack per-knot channels: (N, C, Bp), matrices with their last axis
+    # padded to a multiple of 8 (aligned in-kernel dynamic row reads)
+    sx, su = _pad8(nx), _pad8(nu)
+
     def flat2(a, n):     # (B,N,...) -> (N, n, Bp)
         return jnp.moveaxis(pad(a).reshape(Bp, N, n), 0, -1)
 
+    def flat2s(a, rows, cols):   # (B,N,rows,cols) -> strided (N, rows*pad8(cols), Bp)
+        sc = _pad8(cols)
+        ap = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, sc - cols)))
+        return jnp.moveaxis(pad(ap).reshape(Bp, N, rows * sc), 0, -1)
+
+    def flat1s(a, cols):         # (B,N,cols) vector -> (N, pad8(cols), Bp)
+        sc = _pad8(cols)
+        ap = jnp.pad(a, ((0, 0), (0, 0), (0, sc - cols)))
+        return jnp.moveaxis(pad(ap).reshape(Bp, N, sc), 0, -1)
+
     knots = jnp.concatenate([
-        flat2(Fx, nx * nx), flat2(Fu, nx * nu), flat2(Lx, nx), flat2(Lu, nu),
-        flat2(Lxx, nx * nx), flat2(Lxu, nx * nu), flat2(Luu, nu * nu),
-        flat2(fs_scaled[:, :N], nx), flat2(lb, nu), flat2(ub, nu)], axis=1)
-    Cp = _pad8(knots.shape[1])
-    if Cp != knots.shape[1]:
-        knots = jnp.concatenate(
-            [knots, jnp.zeros((N, Cp - knots.shape[1], Bp), dtype)], axis=1)
+        flat2s(Fx, nx, nx), flat2s(Fu, nx, nu), flat1s(Lx, nx),
+        flat1s(Lu, nu), flat2s(Lxx, nx, nx), flat2s(Lxu, nx, nu),
+        flat2s(Luu, nu, nu), flat1s(fs_scaled[:, :N], nx), flat1s(lb, nu),
+        flat1s(ub, nu)], axis=1)
+    Cp = knots.shape[1]
+    assert Cp % 8 == 0 and Cp == _offsets(nx, nu).total, Cp
 
     term = jnp.concatenate([
         jnp.moveaxis(pad(LxT), 0, -1),
@@ -475,9 +490,9 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
             pltpu.VMEM((_pad8(nu * nx), Bt), dtype),
             pltpu.VMEM((_pad8(nu), Bt), dtype),
             pltpu.VMEM((_pad8(nx * nx), Bt), dtype),
-            pltpu.VMEM((_pad8(nx * nx), Bt), dtype),
-            pltpu.VMEM((_pad8(nx * nu), Bt), dtype),
-            pltpu.VMEM((_pad8(nx), Bt), dtype),
+            pltpu.VMEM((nx * sx, Bt), dtype),       # wstage (strided W)
+            pltpu.VMEM((nx * su, Bt), dtype),       # u2stage (strided U)
+            pltpu.VMEM((nx * sx, Bt), dtype),       # vsym (strided Vxx)
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
