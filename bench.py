@@ -36,7 +36,10 @@ def main():
         max_iters=10, use_box=True,
         scan_unroll=int(_os.environ.get("FFMPC_SCAN_UNROLL", "1")),
         riccati_mode=_os.environ.get("FFMPC_RICCATI_MODE", "sequential"),
-        backward_mode=_os.environ.get("FFMPC_BACKWARD_MODE", "xla"),
+        # fused Pallas backward sweep: 1836 vs 780 solves/s at B=256.
+        # Kernel == interpreter == sequential scan in the equality tests,
+        # and Mosaic == interpreter on-chip (tools/bench_backward.py).
+        backward_mode=_os.environ.get("FFMPC_BACKWARD_MODE", "pallas"),
         linesearch_mode=_os.environ.get("FFMPC_LS_MODE", "batched"))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,

@@ -82,9 +82,12 @@ def main():
         prep = jax.jit(jax.vmap(derive))
         args = prep(y0s)
         jax.block_until_ready(args)
-        # regularization representative of the MPC steady state; large
-        # enough that the synthetic cold problem stays SPD end to end
-        regs = jnp.full((B,), 1e-3, dtype)
+        # heavy regularization: the cold synthetic problem's f32 value
+        # recursion sits at the edge of overflow (the XLA scan produces
+        # NaN gains at 1e-3 where the kernel's summation order survives)
+        # — 1e-1 keeps BOTH paths finite so the agreement check means
+        # something.  Timing is insensitive to the value.
+        regs = jnp.full((B,), 1e-1, dtype)
 
         for name, fn in (("xla", xla_bw), ("pallas", pallas_bw)):
             f = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0)))
