@@ -40,6 +40,9 @@ def main():
         # Kernel == interpreter == sequential scan in the equality tests,
         # and Mosaic == interpreter on-chip (tools/bench_backward.py).
         backward_mode=_os.environ.get("FFMPC_BACKWARD_MODE", "pallas"),
+        # fused Pallas line-search rollout: 2.54 vs 6.84 ms/rollout at
+        # B=256, cost agreement 2.8e-5 rel (tools/bench_rollout.py)
+        rollout_mode=_os.environ.get("FFMPC_ROLLOUT_MODE", "pallas"),
         linesearch_mode=_os.environ.get("FFMPC_LS_MODE", "batched"))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
