@@ -111,3 +111,40 @@ def test_solve_with_pallas_rollout_matches_default():
                                np.asarray(r_ref3.cost), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(r_pal3.iters),
                                   np.asarray(r_ref3.iters))
+
+
+def test_solve_with_both_pallas_kernels_matches_default():
+    """The production default (backward_mode + rollout_mode = pallas)
+    against the all-XLA solve — the combined configuration bench.py
+    ships with."""
+    knot, refs_run, ref_T, y0, tau_g = _setup()
+    rng = np.random.default_rng(9)
+    nx = y0.shape[0]
+    x0s = y0[None] + 0.03 * jnp.asarray(rng.normal(size=(BN, nx)),
+                                        jnp.float64)
+    xss = jnp.tile(x0s[:, None, :], (1, NH + 1, 1))
+    uss = jnp.tile(tau_g, (BN, NH, 1))
+
+    def run(settings):
+        return jax.vmap(lambda x0, xs, us: solve(
+            knot, refs_run, ref_T, x0, xs, us, settings))(x0s, xss, uss)
+
+    st1 = FDDPSettings(max_iters=1, use_box=True, n_alphas=NA)
+    st1p = dataclasses.replace(st1, rollout_mode="pallas",
+                               backward_mode="pallas")
+    r_ref = run(st1)
+    r_pal = run(st1p)
+    # both kernels reassociate and the backward's K feeds the rollout —
+    # compounded float noise, an order looser than each kernel alone
+    for name in ("xs", "us", "K", "k", "cost", "stop", "iters"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r_pal, name)),
+            np.asarray(getattr(r_ref, name)), rtol=1e-4, atol=1e-6,
+            err_msg=name)
+
+    st3 = FDDPSettings(max_iters=3, use_box=True, n_alphas=NA)
+    r_ref3 = run(st3)
+    r_pal3 = run(dataclasses.replace(st3, rollout_mode="pallas",
+                                     backward_mode="pallas"))
+    np.testing.assert_allclose(np.asarray(r_pal3.cost),
+                               np.asarray(r_ref3.cost), rtol=1e-4)
