@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..solver.riccati_scan import _Elem, _combine, _suffix_scan
+from ..solver.riccati_scan import (_Elem, _combine, _suffix_scan,
+                                   equilibration_scale, equilibrate_inputs)
 
 
 def _identity_elem(nx: int, n: int, dtype) -> _Elem:
@@ -64,6 +65,15 @@ def knot_sharded_riccati(mesh: Mesh, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu,
     N, nx = Fx.shape[0], Fx.shape[-1]
     assert N % nproc == 0, (N, nproc)
     dtype = Fx.dtype
+
+    # diagonal state equilibration (riccati_scan.equilibration_scale): the
+    # combine's solves otherwise lose most of the f32 mantissa on the
+    # stiff-contact flagship curvatures.  Computed from the global arrays
+    # (host level, before sharding) so every shard sees the same D.
+    D, Di = equilibration_scale(Lxx, LxxT)
+    (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT) = \
+        equilibrate_inputs(D, Di, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu,
+                           fs_next, LxT, LxxT)
 
     sh_knot = NamedSharding(mesh, P(axis))
     sh_rep = NamedSharding(mesh, P())
@@ -116,5 +126,7 @@ def knot_sharded_riccati(mesh: Mesh, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu,
 
     put = lambda a: jax.device_put(a, sh_knot)
     rep = lambda a: jax.device_put(a, sh_rep)
-    return run(put(Fx), put(Fu), put(Lx), put(Lu), put(Lxx), put(Lxu),
+    K, k = run(put(Fx), put(Fu), put(Lx), put(Lu), put(Lxx), put(Lxu),
                put(Luu), put(fs_next), rep(LxT), rep(LxxT))
+    # undo the equilibration: u = -k - K~ dx~ = -k - (K~ D) dx
+    return K * D[None, None, :], k

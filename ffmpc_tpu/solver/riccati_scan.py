@@ -43,6 +43,36 @@ class _Elem(NamedTuple):
     J: jnp.ndarray    # (N, nx, nx)
 
 
+def equilibration_scale(Lxx, LxxT):
+    """Diagonal state-space scaling D for the parallel value recursion.
+
+    The flagship augmented OCP mixes cost curvatures across ~7 decades
+    (contact tangent ~3e4 vs tau-channel ~1e-3 on the diagonal of Lxx):
+    the combine's (I + C J) solves then mix entries of wildly different
+    magnitude and lose most of the f32 mantissa (measured: max|K| error
+    0.49 plain vs 0.05 equilibrated vs 0.08 for the sequential f32 sweep
+    on the gate problem).  Working in x~ = D x with D_i ~ sqrt(typ
+    diag(Lxx)_i) (unit geometric mean so the overall scale is unchanged)
+    equilibrates J and C and restores sequential-sweep accuracy.  The
+    transform is exact (undone on the outputs); only float roundoff
+    changes.
+    """
+    diag = jnp.mean(jnp.diagonal(Lxx, axis1=-2, axis2=-1), axis=0) + \
+        jnp.diagonal(LxxT)
+    D = jnp.sqrt(jnp.maximum(diag, 1e-8))
+    D = D / jnp.exp(jnp.mean(jnp.log(D)))
+    return D, 1.0 / D
+
+
+def equilibrate_inputs(D, Di, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next,
+                       LxT, LxxT):
+    """Transform per-knot GN blocks into the scaled state space x~ = D x."""
+    return (D[:, None] * Fx * Di[None, :], D[:, None] * Fu,
+            Di * Lx, Lu, Di[:, None] * Lxx * Di[None, :],
+            Di[:, None] * Lxu, Luu, D * fs_next,
+            Di * LxT, Di[:, None] * LxxT * Di[None, :])
+
+
 def _combine(e1: _Elem, e2: _Elem) -> _Elem:
     """Associative combination of conditional-value elements.
 
@@ -80,7 +110,7 @@ def _suffix_scan(elems: _Elem) -> _Elem:
 
 
 def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
-                     ureg: float = 0.0):
+                     ureg: float = 0.0, equilibrate: bool = True):
     """All-knot value functions + gains in O(log N) depth.
 
     Inputs are per-knot arrays with leading dim N (as produced by the
@@ -90,7 +120,22 @@ def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
     sweep: u_try = u_nom - alpha*k - K (x - x_nom); Vx/Vxx include the gap
     deflection Vx_t += Vxx_t fs_t is NOT applied here (the caller handles
     deflection, as in the sequential path).
+
+    ``equilibrate`` (default on) runs the scan in a diagonally-rescaled
+    state space (see ``equilibration_scale``) — required for f32 accuracy
+    on the stiff-contact flagship problem, exact up to roundoff.
     """
+    if equilibrate:
+        D, Di = equilibration_scale(Lxx, LxxT)
+        (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT) = \
+            equilibrate_inputs(D, Di, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu,
+                               fs_next, LxT, LxxT)
+        K, k, Vx, Vxx = parallel_riccati(
+            Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
+            ureg=ureg, equilibrate=False)
+        # x~ = D x, V(x) = V~(Dx):  Vx = D Vx~,  Vxx = D Vxx~ D,  K = K~ D
+        return (K * D[None, None, :], k, Vx * D[None, :],
+                D[None, :, None] * Vxx * D[None, None, :])
     N, nx = Fx.shape[0], Fx.shape[-1]
     nu = Fu.shape[-1]
     dtype = Fx.dtype
@@ -150,7 +195,7 @@ def parallel_riccati(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
 
 def parallel_riccati_box(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
                          lb, ub, ureg: float = 0.0, boxqp_iters: int = 8,
-                         refinements: int = 1):
+                         refinements: int = 1, equilibrate: bool = True):
     """Box-constrained parallel backward: frozen-active-set refinement.
 
     lb/ub: per-knot (N, nu) control bounds RELATIVE to the nominal control
@@ -167,6 +212,20 @@ def parallel_riccati_box(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT,
     one round.
     """
     from .boxqp import boxqp, _masked_solve
+
+    if equilibrate:
+        # u-space quantities (kff, Qu, Quu, lb/ub) are invariant under the
+        # state rescaling; K/Vx/Vxx transform as in parallel_riccati.
+        D, Di = equilibration_scale(Lxx, LxxT)
+        (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT) = \
+            equilibrate_inputs(D, Di, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu,
+                               fs_next, LxT, LxxT)
+        K, kff, Vx, Vxx, Qu, Quu = parallel_riccati_box(
+            Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT, lb, ub,
+            ureg=ureg, boxqp_iters=boxqp_iters, refinements=refinements,
+            equilibrate=False)
+        return (K * D[None, None, :], kff, Vx * D[None, :],
+                D[None, :, None] * Vxx * D[None, None, :], Qu, Quu)
 
     N, nx = Fx.shape[0], Fx.shape[-1]
     nu = Fu.shape[-1]

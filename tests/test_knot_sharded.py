@@ -83,3 +83,64 @@ def test_knot_sharded_panda_problem():
     K_sh, k_sh = knot_sharded_riccati(mesh, *args, ureg=1e-9)
     assert np.allclose(np.asarray(K_sh), np.asarray(K_ref), atol=1e-7)
     assert np.allclose(np.asarray(k_sh), np.asarray(k_ref), atol=1e-7)
+
+
+def _flagship_gate_problem(dtype):
+    """The official dryrun gate problem: flagship augmented contact OCP
+    (N=40, nx=21) linearized at the cold tiled-y0 start — the construction
+    of __graft_entry__.dryrun_multichip's knot-sharded check."""
+    from __graft_entry__ import _common
+    from ffmpc_tpu.core import gravity_torque
+    from ffmpc_tpu.ocp.action import make_augmented_knot
+    from ffmpc_tpu.ocp.problem import build_problem_refs
+
+    horizon = 40
+    model, W, settings, traj, ep, q0 = _common(dtype, horizon=horizon,
+                                               max_iters=10)
+    knot = make_augmented_knot(model, W, surface=True)
+    tau_g = gravity_torque(model, jnp.asarray(q0, dtype))
+    y0 = jnp.concatenate([jnp.asarray(q0, dtype), jnp.zeros(7, dtype), tau_g])
+    R_des = jnp.asarray(np.diag([1.0, -1.0, -1.0]), dtype)
+    refs_run, ref_T = build_problem_refs(
+        traj, 1.2, horizon, W.dt_ocp, y0[:14], tau_g, R_des, y_ref=y0,
+        dtype=dtype)
+    xs = jnp.tile(y0, (horizon + 1, 1))
+    us = jnp.tile(tau_g, (horizon, 1))
+    derivs = jax.jit(jax.vmap(knot.diff))(refs_run, xs[:-1], us)
+    _, LxT, LxxT = jax.jit(knot.term_diff)(ref_T, xs[-1])
+    fs_next = derivs.xnext - xs[1:]
+    return (derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
+            derivs.Lxu, derivs.Luu, fs_next, LxT, LxxT)
+
+
+def test_knot_sharded_flagship_f32():
+    """Sharded == single at the SHIPPED dtype and shapes (f32, N=40, nx=21,
+    stiff augmented contact curvatures) — the regression behind the failed
+    MULTICHIP_r02 gate.  The flagship Lxx spans ~7 decades; without the
+    diagonal equilibration inside the scan both f32 paths lose the mantissa
+    (measured 1e-2 relative disagreement); with it they agree to ~4e-4 and
+    each sits within sequential-f32 distance of the f64 truth."""
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("need virtual device mesh")
+    from ffmpc_tpu.parallel.knot_sharded import knot_sharded_riccati
+
+    args64 = _flagship_gate_problem(jnp.float64)
+    args32 = tuple(jnp.asarray(a, jnp.float32) for a in args64)
+
+    K64, k64, _, _ = jax.jit(parallel_riccati, static_argnames="ureg")(
+        *args64, ureg=1e-6)
+    K32, k32, _, _ = jax.jit(parallel_riccati, static_argnames="ureg")(
+        *args32, ureg=1e-6)
+    scale = float(jnp.max(jnp.abs(K64)))
+    assert bool(jnp.all(jnp.isfinite(K32))) and bool(jnp.all(jnp.isfinite(k32)))
+    # f32 accuracy vs f64 truth at the shipped shapes
+    assert float(jnp.max(jnp.abs(K32 - K64.astype(jnp.float32)))) < 2e-3 * scale
+    assert float(jnp.max(jnp.abs(k32 - k64.astype(jnp.float32)))) < 0.5
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices("cpu")[:8]), ("knot",))
+    K_sh, k_sh = knot_sharded_riccati(mesh, *args32, ureg=1e-6)
+    err = float(jnp.max(jnp.abs(K_sh - K32)))
+    assert np.isfinite(err) and err < 2e-3 * scale, (err, scale)
+    # and algorithmic exactness at f64 on the same problem
+    K_sh64, _ = knot_sharded_riccati(mesh, *args64, ureg=1e-6)
+    assert float(jnp.max(jnp.abs(K_sh64 - K64))) < 1e-7 * max(scale, 1.0)
