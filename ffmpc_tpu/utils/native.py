@@ -189,3 +189,76 @@ def oracle_solve(w_flat, pv, surface, x_reg_ref, tau_ref, R_des, x0, xs_init,
         _p(xs_out), _p(us_out), _p(cost),
         iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return xs_out, us_out, float(cost[0]), int(iters[0])
+
+
+# ---- augmented LPF (force-feedback) oracle family -------------------------
+
+def oracle_weights_flat_aug(W, model) -> np.ndarray:
+    """Augmented-family oracle ABI: the 60 classical doubles followed by
+    [alpha_lpf, w_w, w_w_soft_limits, w_soft_margin, w_y,
+     use_inner_state_reg, use_inner_tau_reg, y_weights[21]] (88 total).
+    Mirrors the reference _AugmentedLPFActionModel constructor arguments
+    (crocoddyl_force_feedback.py:156-183)."""
+    base = oracle_weights_flat(W, model)
+    yw = np.asarray(W.y_weights, dtype=float).reshape(21)
+    tail = np.asarray(
+        [W.ff_alpha, W.w_w, W.w_w_soft_limits, W.tau_soft_limit_margin,
+         W.w_y, float(W.use_inner_state_reg), float(W.use_inner_tau_reg)],
+        dtype=np.float64)
+    return np.concatenate([base, tail, yw])
+
+
+def _bind_aug(lib):
+    if getattr(lib, "_aug_bound", False):
+        return
+    dp = ctypes.POINTER(ctypes.c_double)
+    ci = ctypes.c_int
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.ffmpc_oracle_knot_calc_aug.argtypes = [dp, dp, dp, dp, dp, dp, ci,
+                                               ci, dp, dp, dp, dp]
+    lib.ffmpc_oracle_solve_aug.argtypes = [dp, dp, ip, dp, dp, dp, dp, ci,
+                                           dp, dp, dp, ci, ci, dp, dp, dp,
+                                           ip]
+    lib._aug_bound = True
+
+
+def oracle_knot_calc_aug(w_flat, ref_pv, x_reg_ref, tau_ref, R_des, y_ref,
+                         surface, terminal, y, w=None):
+    lib = _load()
+    _bind_aug(lib)
+    cc = np.ascontiguousarray
+    ynext = np.zeros(21)
+    cost = np.zeros(1)
+    w = np.zeros(7) if w is None else w
+    lib.ffmpc_oracle_knot_calc_aug(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(ref_pv, dtype=np.float64)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), _p(cc(y_ref, dtype=np.float64)),
+        int(surface), int(terminal),
+        _p(cc(y, dtype=np.float64)), _p(cc(w, dtype=np.float64)),
+        _p(ynext), _p(cost))
+    return ynext, float(cost[0])
+
+
+def oracle_solve_aug(w_flat, pv, surface, x_reg_ref, tau_ref, R_des, y_ref,
+                     y0, ys_init, ws_init, max_iters=10, use_box=True):
+    """Full independent augmented-family BoxFDDP solve (21-state)."""
+    lib = _load()
+    _bind_aug(lib)
+    cc = np.ascontiguousarray
+    N = len(surface)
+    surf = np.ascontiguousarray(np.asarray(surface, dtype=np.int32))
+    ys_out = np.zeros((N + 1, 21))
+    ws_out = np.zeros((N, 7))
+    cost = np.zeros(1)
+    iters = np.zeros(1, dtype=np.int32)
+    lib.ffmpc_oracle_solve_aug(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(pv, dtype=np.float64)),
+        surf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), _p(cc(y_ref, dtype=np.float64)), N,
+        _p(cc(y0, dtype=np.float64)), _p(cc(ys_init, dtype=np.float64)),
+        _p(cc(ws_init, dtype=np.float64)), int(max_iters), int(use_box),
+        _p(ys_out), _p(ws_out), _p(cost),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return ys_out, ws_out, float(cost[0]), int(iters[0])

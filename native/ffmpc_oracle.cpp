@@ -16,7 +16,13 @@
 //     (crocoddyl_classical.py:558-728) with Gauss-Newton assembly exactly
 //     as Crocoddyl's calcDiff does.
 //
-// Scope: classical knot family (nx=14, nu=7), free + normal_1d contact.
+// Scope: BOTH knot families —
+//   classical (nx=14, nu=7), free + normal_1d contact, and
+//   augmented LPF force-feedback (ny=21 with y=(q,v,tau), control w,
+//   tau+ = alpha tau + (1-alpha) w, outer y/w regularization costs;
+//   reference _AugmentedLPFActionModel,
+//   /root/reference/src/mpc/crocoddyl_force_feedback.py:149-290).
+// The FDDP/BoxFDDP core is templated on the state dimension and shared.
 // Exposed via ctypes (ffmpc_tpu/utils/native.py).
 //
 // Build: make -C native
@@ -79,6 +85,11 @@ struct Weights {
   double v_damp_w[7];
   double ori_w[3], wdamp_w[3], ee_pos_w[3];
   double tau_limits[7], q_lower[7], q_upper[7];
+  // augmented LPF family (crocoddyl_force_feedback.py:156-183)
+  double alpha_lpf;          // LPF pole, clipped to [0, 0.999999]
+  double w_w, w_w_soft, w_soft_margin, w_y;
+  double use_inner_state_reg, use_inner_tau_reg;   // 0/1 flags
+  double y_weights[21];
 };
 
 struct Refs {
@@ -87,10 +98,11 @@ struct Refs {
   const double* x_reg_ref;  // (14,)
   const double* tau_ref;    // (7,)
   const double* R_des;      // (9,) row-major
+  const double* y_ref;      // (21,) augmented-family y_reg reference
   int N;
 };
 
-static const int NX = 14, NU = 7;
+static const int NX = 14, NU = 7, NY = 21;
 
 // residual layout (classical knot).  Activation kinds:
 enum ActKind { QUAD, WQUAD, BARRIER };
@@ -99,8 +111,8 @@ struct Term {
   ActKind kind;
   double weight;
   bool dt_scaled, terminal, is_u;   // is_u: residual depends on u only
-  double w[14];                     // wquad weights
-  double lb[14], ub[14];            // barrier bounds
+  double w[21];                     // wquad weights
+  double lb[21], ub[21];            // barrier bounds
 };
 
 struct Stack {
@@ -113,17 +125,26 @@ struct Stack {
   }
 };
 
-static Stack make_stack(const Weights& W, bool surface, bool terminal) {
+// aug=true builds the inner stack of the augmented LPF wrapper: the
+// use_inner_* flags drop inner regularizers (crocoddyl_force_feedback.py
+// _make_dam; cfg.use_inner_state_reg / use_inner_tau_reg) and the outer
+// y/w terms are appended (discrete-level: never dt-scaled).
+static Stack make_stack(const Weights& W, bool surface, bool terminal,
+                        bool aug = false) {
   Stack S;
   Term t{};
-  // posture (14, quad)
-  t = Term{}; t.nr = 14; t.kind = QUAD; t.weight = W.w_posture;
-  t.dt_scaled = true; t.terminal = true; S.add(t);
-  // v_damp (14, wquad on v part)
-  t = Term{}; t.nr = 14; t.kind = WQUAD; t.weight = W.w_v;
-  t.dt_scaled = true; t.terminal = true;
-  for (int i = 0; i < 7; ++i) { t.w[i] = 0.0; t.w[7 + i] = W.v_damp_w[i]; }
-  S.add(t);
+  bool state_reg = !aug || W.use_inner_state_reg > 0.5;
+  bool tau_reg = !aug || W.use_inner_tau_reg > 0.5;
+  if (state_reg) {
+    // posture (14, quad)
+    t = Term{}; t.nr = 14; t.kind = QUAD; t.weight = W.w_posture;
+    t.dt_scaled = true; t.terminal = true; S.add(t);
+    // v_damp (14, wquad on v part)
+    t = Term{}; t.nr = 14; t.kind = WQUAD; t.weight = W.w_v;
+    t.dt_scaled = true; t.terminal = true;
+    for (int i = 0; i < 7; ++i) { t.w[i] = 0.0; t.w[7 + i] = W.v_damp_w[i]; }
+    S.add(t);
+  }
   // q soft limits (14, barrier)
   if (W.w_q_soft > 0.0) {
     t = Term{}; t.nr = 14; t.kind = BARRIER; t.weight = W.w_q_soft;
@@ -149,7 +170,7 @@ static Stack make_stack(const Weights& W, bool surface, bool terminal) {
   t.w[0] = t.w[1] = t.w[2] = 0.0;
   for (int i = 0; i < 3; ++i) t.w[3 + i] = W.wdamp_w[i];
   S.add(t);
-  if (!terminal) {
+  if (!terminal && tau_reg) {
     // tau reg (7, quad, u-only)
     t = Term{}; t.nr = 7; t.kind = QUAD; t.weight = W.w_tau;
     t.dt_scaled = true; t.terminal = false; t.is_u = true; S.add(t);
@@ -197,6 +218,30 @@ static Stack make_stack(const Weights& W, bool surface, bool terminal) {
     if (W.w_fn > 0.0) {
       t = Term{}; t.nr = 1; t.kind = WQUAD; t.weight = W.w_fn;
       t.dt_scaled = true; t.terminal = true; t.w[0] = 1.0; S.add(t);
+    }
+  }
+  if (aug) {
+    // outer augmented costs (discrete-level, never dt-scaled;
+    // crocoddyl_force_feedback.py:224-234).  At the terminal knot w = 0,
+    // so the w terms contribute zero there (kept for layout symmetry).
+    if (W.w_y > 0.0) {
+      t = Term{}; t.nr = 21; t.kind = WQUAD; t.weight = W.w_y;
+      t.dt_scaled = false; t.terminal = true;
+      for (int i = 0; i < 21; ++i) t.w[i] = W.y_weights[i] * W.y_weights[i];
+      S.add(t);
+    }
+    if (!terminal && W.w_w > 0.0) {
+      t = Term{}; t.nr = 7; t.kind = QUAD; t.weight = W.w_w;
+      t.dt_scaled = false; t.terminal = false; t.is_u = true; S.add(t);
+    }
+    if (!terminal && W.w_w_soft > 0.0) {
+      t = Term{}; t.nr = 7; t.kind = BARRIER; t.weight = W.w_w_soft;
+      t.dt_scaled = false; t.terminal = false; t.is_u = true;
+      for (int i = 0; i < 7; ++i) {
+        double lim = std::max(W.tau_limits[i] - W.w_soft_margin, 1e-9);
+        t.lb[i] = -lim; t.ub[i] = lim;
+      }
+      S.add(t);
     }
   }
   return S;
@@ -287,11 +332,14 @@ struct KnotOut {
 static void knot_residuals(const Weights& W, const Refs& refs, bool surface,
                            bool terminal, const double* ref_pv,
                            const double* x, const double* u, double* r_out,
-                           double* xnext_out) {
+                           double* xnext_out, bool aug = false) {
   // crocoddyl's terminal calc runs with u = unone (zeros): the terminal
-  // contact force is computed at zero torque
+  // contact force is computed at zero torque.  Classical call sites pass
+  // u = nullptr at the terminal; the augmented wrapper instead passes the
+  // tau STATE as the inner control even at the terminal knot (the wrapper
+  // always calls the inner running calc — crocoddyl_force_feedback.py:220).
   static const double U0[NU] = {0, 0, 0, 0, 0, 0, 0};
-  if (terminal || u == nullptr) u = U0;
+  if (u == nullptr) u = U0;
   const double* q = x;
   const double* v = x + 7;
   double Jp[3][7], Jr[3][7], ee_p[3], ee_R[9];
@@ -362,12 +410,16 @@ static void knot_residuals(const Weights& W, const Refs& refs, bool surface,
     vel6[5] += Jr[2][j] * v[j];
   }
   int off = 0;
-  // posture
-  for (int i = 0; i < 14; ++i) r_out[off + i] = x[i] - refs.x_reg_ref[i];
-  off += 14;
-  // v_damp
-  for (int i = 0; i < 14; ++i) r_out[off + i] = x[i];
-  off += 14;
+  bool state_reg = !aug || W.use_inner_state_reg > 0.5;
+  bool tau_reg = !aug || W.use_inner_tau_reg > 0.5;
+  if (state_reg) {
+    // posture
+    for (int i = 0; i < 14; ++i) r_out[off + i] = x[i] - refs.x_reg_ref[i];
+    off += 14;
+    // v_damp
+    for (int i = 0; i < 14; ++i) r_out[off + i] = x[i];
+    off += 14;
+  }
   // q soft limits
   if (W.w_q_soft > 0.0) {
     for (int i = 0; i < 7; ++i) {
@@ -390,7 +442,7 @@ static void knot_residuals(const Weights& W, const Refs& refs, bool surface,
   // w_damp
   for (int i = 0; i < 6; ++i) r_out[off + i] = vel6[i];
   off += 6;
-  if (!terminal) {
+  if (!terminal && tau_reg) {
     for (int i = 0; i < 7; ++i) r_out[off + i] = u[i] - refs.tau_ref[i];
     off += 7;
     if (W.w_tau_soft > 0.0) {
@@ -423,6 +475,50 @@ static void knot_residuals(const Weights& W, const Refs& refs, bool surface,
   }
 }
 
+// Augmented LPF knot: y = (x_mb[14], tau[7]), control w[7].
+// ynext = [inner Euler xnext(x_mb, tau); alpha tau + (1-alpha) w].
+// Inner residual stack evaluated at (x_mb, u=tau) — including at the
+// terminal knot (the wrapper calls the inner RUNNING calc there) — plus
+// the outer y/w residuals.
+static void knot_residuals_aug(const Weights& W, const Refs& refs,
+                               bool surface, bool terminal,
+                               const double* ref_pv, const double* y,
+                               const double* w, double* r_out,
+                               double* ynext_out) {
+  static const double W0[NU] = {0, 0, 0, 0, 0, 0, 0};
+  if (w == nullptr) w = W0;
+  const double* x_mb = y;
+  const double* tau = y + NX;
+  double xn_mb[NX];
+  knot_residuals(W, refs, surface, terminal, ref_pv, x_mb, tau, r_out,
+                 xn_mb, /*aug=*/true);
+  double a = std::min(std::max(W.alpha_lpf, 0.0), 0.999999);
+  for (int i = 0; i < NX; ++i) ynext_out[i] = xn_mb[i];
+  for (int i = 0; i < NU; ++i)
+    ynext_out[NX + i] = a * tau[i] + (1.0 - a) * w[i];
+  // recompute the inner offset to append outer residuals
+  Stack Si = make_stack(W, surface, terminal, /*aug=*/true);
+  int off = Si.nr_total;
+  // walk back over the outer terms we are about to write
+  int n_outer = 0;
+  if (W.w_y > 0.0) n_outer += 21;
+  if (!terminal && W.w_w > 0.0) n_outer += 7;
+  if (!terminal && W.w_w_soft > 0.0) n_outer += 7;
+  off -= n_outer;
+  if (W.w_y > 0.0) {
+    for (int i = 0; i < 21; ++i) r_out[off + i] = y[i] - refs.y_ref[i];
+    off += 21;
+  }
+  if (!terminal && W.w_w > 0.0) {
+    for (int i = 0; i < 7; ++i) r_out[off + i] = w[i];
+    off += 7;
+  }
+  if (!terminal && W.w_w_soft > 0.0) {
+    for (int i = 0; i < 7; ++i) r_out[off + i] = w[i];
+    off += 7;
+  }
+}
+
 // activation value/grad/hessdiag on one term
 static double act_value(const Term& t, const double* r) {
   double v = 0;
@@ -452,12 +548,36 @@ static void act_grad_hess(const Term& t, const double* r, double* g, double* h) 
   }
 }
 
-struct KnotDeriv {
-  double xnext[NX];
+template <int NXD>
+struct KnotDerivT {
+  double xnext[NXD];
   double cost;
-  double Fx[NX * NX], Fu[NX * NU];
-  double Lx[NX], Lu[NU], Lxx[NX * NX], Lxu[NX * NU], Luu[NU * NU];
+  double Fx[NXD * NXD], Fu[NXD * NU];
+  double Lx[NXD], Lu[NU], Lxx[NXD * NXD], Lxu[NXD * NU], Luu[NU * NU];
 };
+using KnotDeriv = KnotDerivT<NX>;
+
+// family dispatch: NXD == NX -> classical residual stack, NXD == NY ->
+// augmented LPF stack.
+template <int NXD>
+static void residuals_t(const Weights& W, const Refs& refs, bool surface,
+                        bool terminal, const double* ref_pv, const double* x,
+                        const double* u, double* r, double* xn) {
+  static_assert(NXD == NX || NXD == NY, "unknown knot family");
+  if (NXD == NX)
+    knot_residuals(W, refs, surface, terminal, ref_pv, x, u, r, xn);
+  else
+    knot_residuals_aug(W, refs, surface, terminal, ref_pv, x, u, r, xn);
+}
+
+template <int NXD>
+static double dt_scale_t(const Weights& W, bool terminal) {
+  // classical terminal: crocoddyl's x-only IAM Euler calc, unscaled.
+  // augmented terminal: the LPF wrapper calls the inner RUNNING calc,
+  // so inner terms stay dt-scaled (crocoddyl_force_feedback.py:220).
+  if (NXD == NX) return terminal ? 1.0 : W.dt_ocp;
+  return W.dt_ocp;
+}
 
 static double knot_cost(const Stack& S, const Weights& W, bool terminal,
                         const double* r, double dt_scale) {
@@ -470,77 +590,91 @@ static double knot_cost(const Stack& S, const Weights& W, bool terminal,
   return c;
 }
 
+template <int NXD>
+static void knot_calc_t(const Weights& W, const Refs& refs, bool surface,
+                        bool terminal, const double* ref_pv, const double* x,
+                        const double* u, double* xnext, double* cost) {
+  Stack S = make_stack(W, surface, terminal, NXD == NY);
+  std::vector<double> r(S.nr_total);
+  residuals_t<NXD>(W, refs, surface, terminal, ref_pv, x, u, r.data(), xnext);
+  *cost = knot_cost(S, W, terminal, r.data(), dt_scale_t<NXD>(W, terminal));
+}
+
 static void knot_calc(const Weights& W, const Refs& refs, bool surface,
                       bool terminal, const double* ref_pv, const double* x,
                       const double* u, double* xnext, double* cost) {
-  Stack S = make_stack(W, surface, terminal);
-  std::vector<double> r(S.nr_total);
-  knot_residuals(W, refs, surface, terminal, ref_pv, x, u, r.data(), xnext);
-  double dt_scale = terminal ? 1.0 : W.dt_ocp;
-  *cost = knot_cost(S, W, terminal, r.data(), dt_scale);
+  knot_calc_t<NX>(W, refs, surface, terminal, ref_pv, x, u, xnext, cost);
 }
 
 // central-difference derivatives of (xnext, residuals); GN cost assembly.
-static void knot_diff(const Weights& W, const Refs& refs, bool surface,
-                      bool terminal, const double* ref_pv, const double* x,
-                      const double* u, KnotDeriv* D) {
-  Stack S = make_stack(W, surface, terminal);
+template <int NXD>
+static void knot_diff_t(const Weights& W, const Refs& refs, bool surface,
+                        bool terminal, const double* ref_pv, const double* x,
+                        const double* u, KnotDerivT<NXD>* D) {
+  Stack S = make_stack(W, surface, terminal, NXD == NY);
   int NR = S.nr_total;
   std::vector<double> r0(NR), rp(NR), rm(NR);
-  std::vector<double> Jx(NR * NX), Ju(NR * NU, 0.0);
-  double xn_p[NX], xn_m[NX];
-  knot_residuals(W, refs, surface, terminal, ref_pv, x, u, r0.data(), D->xnext);
+  std::vector<double> Jx(NR * NXD), Ju(NR * NU, 0.0);
+  double xn_p[NXD], xn_m[NXD];
+  residuals_t<NXD>(W, refs, surface, terminal, ref_pv, x, u, r0.data(),
+                   D->xnext);
 
   // central-difference step: eps^(1/3) scale minimizes truncation +
   // roundoff for double precision (the stiff contact Hessian amplifies
   // derivative noise into the backward pass; 1e-6 left ~2.5e-3 Nm tau
   // residual vs the analytic side, 1e-5 brings it under the 1e-3 target)
   const double h = 1e-5;
-  double xp[NX], um[NU];
-  for (int j = 0; j < NX; ++j) {
+  double xp[NXD], um[NU];
+  for (int j = 0; j < NXD; ++j) {
     std::memcpy(xp, x, sizeof(xp));
     xp[j] = x[j] + h;
-    knot_residuals(W, refs, surface, terminal, ref_pv, xp, u, rp.data(), xn_p);
+    residuals_t<NXD>(W, refs, surface, terminal, ref_pv, xp, u, rp.data(),
+                     xn_p);
     xp[j] = x[j] - h;
-    knot_residuals(W, refs, surface, terminal, ref_pv, xp, u, rm.data(), xn_m);
-    for (int i = 0; i < NR; ++i) Jx[i * NX + j] = (rp[i] - rm[i]) / (2 * h);
-    for (int i = 0; i < NX; ++i) D->Fx[i * NX + j] = (xn_p[i] - xn_m[i]) / (2 * h);
+    residuals_t<NXD>(W, refs, surface, terminal, ref_pv, xp, u, rm.data(),
+                     xn_m);
+    for (int i = 0; i < NR; ++i) Jx[i * NXD + j] = (rp[i] - rm[i]) / (2 * h);
+    for (int i = 0; i < NXD; ++i)
+      D->Fx[i * NXD + j] = (xn_p[i] - xn_m[i]) / (2 * h);
   }
   if (!terminal) {
     for (int j = 0; j < NU; ++j) {
       std::memcpy(um, u, sizeof(um));
       um[j] = u[j] + h;
-      knot_residuals(W, refs, surface, terminal, ref_pv, x, um, rp.data(), xn_p);
+      residuals_t<NXD>(W, refs, surface, terminal, ref_pv, x, um, rp.data(),
+                       xn_p);
       um[j] = u[j] - h;
-      knot_residuals(W, refs, surface, terminal, ref_pv, x, um, rm.data(), xn_m);
+      residuals_t<NXD>(W, refs, surface, terminal, ref_pv, x, um, rm.data(),
+                       xn_m);
       for (int i = 0; i < NR; ++i) Ju[i * NU + j] = (rp[i] - rm[i]) / (2 * h);
-      for (int i = 0; i < NX; ++i) D->Fu[i * NU + j] = (xn_p[i] - xn_m[i]) / (2 * h);
+      for (int i = 0; i < NXD; ++i)
+        D->Fu[i * NU + j] = (xn_p[i] - xn_m[i]) / (2 * h);
     }
   } else {
     std::memset(D->Fu, 0, sizeof(D->Fu));
   }
 
   // GN assembly
-  double dt_scale = terminal ? 1.0 : W.dt_ocp;
+  double dt_scale = dt_scale_t<NXD>(W, terminal);
   D->cost = knot_cost(S, W, terminal, r0.data(), dt_scale);
   std::memset(D->Lx, 0, sizeof(D->Lx));
   std::memset(D->Lu, 0, sizeof(D->Lu));
   std::memset(D->Lxx, 0, sizeof(D->Lxx));
   std::memset(D->Lxu, 0, sizeof(D->Lxu));
   std::memset(D->Luu, 0, sizeof(D->Luu));
-  double g[14], hd[14];
+  double g[21], hd[21];
   for (const Term& t : S.terms) {
     if (terminal && !t.terminal) continue;
     double s = t.weight * (t.dt_scaled ? dt_scale : 1.0);
     act_grad_hess(t, r0.data() + t.offset, g, hd);
     for (int i = 0; i < t.nr; ++i) {
       int ri = t.offset + i;
-      for (int a = 0; a < NX; ++a) {
-        double Ja = Jx[ri * NX + a];
+      for (int a = 0; a < NXD; ++a) {
+        double Ja = Jx[ri * NXD + a];
         if (Ja == 0.0) continue;
         D->Lx[a] += s * Ja * g[i];
-        for (int b = 0; b < NX; ++b)
-          D->Lxx[a * NX + b] += s * hd[i] * Ja * Jx[ri * NX + b];
+        for (int b = 0; b < NXD; ++b)
+          D->Lxx[a * NXD + b] += s * hd[i] * Ja * Jx[ri * NXD + b];
         for (int b = 0; b < NU; ++b)
           D->Lxu[a * NU + b] += s * hd[i] * Ja * Ju[ri * NU + b];
       }
@@ -649,19 +783,20 @@ struct Problem {
   int N;
 };
 
+template <int NXD>
 static double total_calc(const Problem& P, const double* xs, const double* us,
                          std::vector<double>* xnexts) {
   double cost = 0;
-  double xn[NX], c;
+  double xn[NXD], c;
   for (int k = 0; k < P.N; ++k) {
-    knot_calc(P.W, P.refs, P.surface[k], false, P.refs.pv + 6 * k,
-              xs + NX * k, us + NU * k, xn, &c);
+    knot_calc_t<NXD>(P.W, P.refs, P.surface[k], false, P.refs.pv + 6 * k,
+              xs + NXD * k, us + NU * k, xn, &c);
     cost += c;
-    if (xnexts) std::memcpy(xnexts->data() + NX * k, xn, sizeof(xn));
+    if (xnexts) std::memcpy(xnexts->data() + NXD * k, xn, sizeof(xn));
   }
-  double xT[NX];
-  knot_calc(P.W, P.refs, P.surface[P.N - 1], true, P.refs.pv + 6 * P.N,
-            xs + NX * P.N, nullptr, xT, &c);
+  double xT[NXD];
+  knot_calc_t<NXD>(P.W, P.refs, P.surface[P.N - 1], true, P.refs.pv + 6 * P.N,
+            xs + NXD * P.N, nullptr, xT, &c);
   cost += c;
   return cost;
 }
@@ -674,18 +809,19 @@ struct SolveOut {
   double reg;
 };
 
+template <int NXD>
 static void solve_fddp(const Problem& P, const double* x0,
                        const double* xs_init, const double* us_init,
                        const SolveOpts& O, SolveOut* out) {
   const int N = P.N;
-  std::vector<double> xs(xs_init, xs_init + NX * (N + 1));
+  std::vector<double> xs(xs_init, xs_init + NXD * (N + 1));
   std::vector<double> us(us_init, us_init + NU * N);
-  std::vector<KnotDeriv> D(N);
-  KnotDeriv DT;  // terminal (only Lx/Lxx/cost used)
-  std::vector<double> fs((N + 1) * NX);
-  std::vector<double> K(N * NU * NX, 0.0), kff(N * NU, 0.0);
-  std::vector<double> Vxx_all((N + 1) * NX * NX);
-  std::vector<double> xs_try((N + 1) * NX), us_try(N * NU);
+  std::vector<KnotDerivT<NXD>> D(N);
+  KnotDerivT<NXD> DT;  // terminal (only Lx/Lxx/cost used)
+  std::vector<double> fs((N + 1) * NXD);
+  std::vector<double> K(N * NU * NXD, 0.0), kff(N * NU, 0.0);
+  std::vector<double> Vxx_all((N + 1) * NXD * NXD);
+  std::vector<double> xs_try((N + 1) * NXD), us_try(N * NU);
 
   double xreg = O.reg_init, ureg = O.reg_init;
   bool feasible = false;
@@ -702,23 +838,23 @@ static void solve_fddp(const Problem& P, const double* x0,
     // derivatives + gaps
     double cost_cur = 0;
     for (int k = 0; k < N; ++k) {
-      knot_diff(P.W, P.refs, P.surface[k], false, P.refs.pv + 6 * k,
-                xs.data() + NX * k, us.data() + NU * k, &D[k]);
+      knot_diff_t<NXD>(P.W, P.refs, P.surface[k], false, P.refs.pv + 6 * k,
+                xs.data() + NXD * k, us.data() + NU * k, &D[k]);
       cost_cur += D[k].cost;
     }
-    knot_diff(P.W, P.refs, P.surface[N - 1], true, P.refs.pv + 6 * N,
-              xs.data() + NX * N, nullptr, &DT);
+    knot_diff_t<NXD>(P.W, P.refs, P.surface[N - 1], true, P.refs.pv + 6 * N,
+              xs.data() + NXD * N, nullptr, &DT);
     cost_cur += DT.cost;
 
     double gap_norm = 0;
-    for (int i = 0; i < NX; ++i) {
+    for (int i = 0; i < NXD; ++i) {
       fs[i] = x0[i] - xs[i];
       gap_norm = std::max(gap_norm, std::fabs(fs[i]));
     }
     for (int k = 0; k < N; ++k)
-      for (int i = 0; i < NX; ++i) {
-        double g = D[k].xnext[i] - xs[NX * (k + 1) + i];
-        fs[NX * (k + 1) + i] = g;
+      for (int i = 0; i < NXD; ++i) {
+        double g = D[k].xnext[i] - xs[NXD * (k + 1) + i];
+        fs[NXD * (k + 1) + i] = g;
         gap_norm = std::max(gap_norm, std::fabs(g));
       }
     if (gap_norm < 1e-9) feasible = true;
@@ -730,76 +866,76 @@ static void solve_fddp(const Problem& P, const double* x0,
     while (bw_bad) {
       bw_bad = false;
       dg = dq = stop = 0;
-      double Vx[NX], Vxx[NX * NX];
-      for (int i = 0; i < NX * NX; ++i) Vxx[i] = DT.Lxx[i];
-      for (int i = 0; i < NX; ++i) Vxx[i * NX + i] += xreg;
-      for (int i = 0; i < NX; ++i) {
+      double Vx[NXD], Vxx[NXD * NXD];
+      for (int i = 0; i < NXD * NXD; ++i) Vxx[i] = DT.Lxx[i];
+      for (int i = 0; i < NXD; ++i) Vxx[i * NXD + i] += xreg;
+      for (int i = 0; i < NXD; ++i) {
         Vx[i] = DT.Lx[i];
         double d = 0;
-        for (int j = 0; j < NX; ++j) d += Vxx[i * NX + j] * fs[NX * N + j];
+        for (int j = 0; j < NXD; ++j) d += Vxx[i * NXD + j] * fs[NXD * N + j];
         Vx[i] += gapw * d;
       }
-      std::memcpy(Vxx_all.data() + NX * NX * N, Vxx, sizeof(Vxx));
+      std::memcpy(Vxx_all.data() + NXD * NXD * N, Vxx, sizeof(Vxx));
       // terminal dg/dq pieces
       {
         double vTf = 0, fVf = 0;
-        for (int i = 0; i < NX; ++i) vTf += Vx[i] * fs[NX * N + i];
-        for (int i = 0; i < NX; ++i)
-          for (int j = 0; j < NX; ++j)
-            fVf += fs[NX * N + i] * Vxx[i * NX + j] * fs[NX * N + j];
+        for (int i = 0; i < NXD; ++i) vTf += Vx[i] * fs[NXD * N + i];
+        for (int i = 0; i < NXD; ++i)
+          for (int j = 0; j < NXD; ++j)
+            fVf += fs[NXD * N + i] * Vxx[i * NXD + j] * fs[NXD * N + j];
         dg -= gapw * vTf;
         dq += gapw * fVf;
       }
       for (int k = N - 1; k >= 0 && !bw_bad; --k) {
-        const KnotDeriv& d = D[k];
-        double Qx[NX], Qu[NU];
-        double Qxx[NX * NX], Qxu[NX * NU], Quu[NU * NU];
+        const KnotDerivT<NXD>& d = D[k];
+        double Qx[NXD], Qu[NU];
+        double Qxx[NXD * NXD], Qxu[NXD * NU], Quu[NU * NU];
         // Qxx = Lxx + Fx^T Vxx Fx etc.
-        double VF[NX * NX];  // Vxx @ Fx
-        for (int i = 0; i < NX; ++i)
-          for (int j = 0; j < NX; ++j) {
+        double VF[NXD * NXD];  // Vxx @ Fx
+        for (int i = 0; i < NXD; ++i)
+          for (int j = 0; j < NXD; ++j) {
             double s = 0;
-            for (int l = 0; l < NX; ++l) s += Vxx[i * NX + l] * d.Fx[l * NX + j];
-            VF[i * NX + j] = s;
+            for (int l = 0; l < NXD; ++l) s += Vxx[i * NXD + l] * d.Fx[l * NXD + j];
+            VF[i * NXD + j] = s;
           }
-        for (int i = 0; i < NX; ++i)
-          for (int j = 0; j < NX; ++j) {
-            double s = d.Lxx[i * NX + j];
-            for (int l = 0; l < NX; ++l) s += d.Fx[l * NX + i] * VF[l * NX + j];
-            Qxx[i * NX + j] = s;
+        for (int i = 0; i < NXD; ++i)
+          for (int j = 0; j < NXD; ++j) {
+            double s = d.Lxx[i * NXD + j];
+            for (int l = 0; l < NXD; ++l) s += d.Fx[l * NXD + i] * VF[l * NXD + j];
+            Qxx[i * NXD + j] = s;
           }
-        double VFu[NX * NU];
-        for (int i = 0; i < NX; ++i)
+        double VFu[NXD * NU];
+        for (int i = 0; i < NXD; ++i)
           for (int j = 0; j < NU; ++j) {
             double s = 0;
-            for (int l = 0; l < NX; ++l) s += Vxx[i * NX + l] * d.Fu[l * NU + j];
+            for (int l = 0; l < NXD; ++l) s += Vxx[i * NXD + l] * d.Fu[l * NU + j];
             VFu[i * NU + j] = s;
           }
-        for (int i = 0; i < NX; ++i)
+        for (int i = 0; i < NXD; ++i)
           for (int j = 0; j < NU; ++j) {
             double s = d.Lxu[i * NU + j];
-            for (int l = 0; l < NX; ++l) s += d.Fx[l * NX + i] * VFu[l * NU + j];
+            for (int l = 0; l < NXD; ++l) s += d.Fx[l * NXD + i] * VFu[l * NU + j];
             Qxu[i * NU + j] = s;
           }
         for (int i = 0; i < NU; ++i)
           for (int j = 0; j < NU; ++j) {
             double s = d.Luu[i * NU + j];
-            for (int l = 0; l < NX; ++l) s += d.Fu[l * NU + i] * VFu[l * NU + j];
+            for (int l = 0; l < NXD; ++l) s += d.Fu[l * NU + i] * VFu[l * NU + j];
             Quu[i * NU + j] = s + (i == j ? ureg : 0.0);
           }
-        for (int i = 0; i < NX; ++i) {
+        for (int i = 0; i < NXD; ++i) {
           double s = d.Lx[i];
-          for (int l = 0; l < NX; ++l) s += d.Fx[l * NX + i] * Vx[l];
+          for (int l = 0; l < NXD; ++l) s += d.Fx[l * NXD + i] * Vx[l];
           Qx[i] = s;
         }
         for (int i = 0; i < NU; ++i) {
           double s = d.Lu[i];
-          for (int l = 0; l < NX; ++l) s += d.Fu[l * NU + i] * Vx[l];
+          for (int l = 0; l < NXD; ++l) s += d.Fu[l * NU + i] * Vx[l];
           Qu[i] = s;
         }
 
         double kk[NU];
-        double KK[NU * NX];
+        double KK[NU * NXD];
         if (O.use_box) {
           double lb[NU], ub[NU], x0q[NU] = {0};
           for (int i = 0; i < NU; ++i) {
@@ -821,11 +957,11 @@ static void solve_fddp(const Problem& P, const double* x0,
           std::memcpy(Lm, Qm, sizeof(Qm));
           if (!chol(Lm, NU)) { bw_bad = true; break; }
           double col[NU], outc[NU];
-          for (int j = 0; j < NX; ++j) {
+          for (int j = 0; j < NXD; ++j) {
             for (int i = 0; i < NU; ++i)
               col[i] = fr[i] ? Qxu[j * NU + i] : 0.0;  // (Qxu^T masked)
             chol_solve_vec(Lm, NU, col, outc);
-            for (int i = 0; i < NU; ++i) KK[i * NX + j] = outc[i];
+            for (int i = 0; i < NU; ++i) KK[i * NXD + j] = outc[i];
           }
         } else {
           double Lm[NU * NU];
@@ -833,14 +969,14 @@ static void solve_fddp(const Problem& P, const double* x0,
           if (!chol(Lm, NU)) { bw_bad = true; break; }
           chol_solve_vec(Lm, NU, Qu, kk);
           double col[NU], outc[NU];
-          for (int j = 0; j < NX; ++j) {
+          for (int j = 0; j < NXD; ++j) {
             for (int i = 0; i < NU; ++i) col[i] = Qxu[j * NU + i];
             chol_solve_vec(Lm, NU, col, outc);
-            for (int i = 0; i < NU; ++i) KK[i * NX + j] = outc[i];
+            for (int i = 0; i < NU; ++i) KK[i * NXD + j] = outc[i];
           }
         }
         std::memcpy(kff.data() + NU * k, kk, sizeof(kk));
-        std::memcpy(K.data() + NU * NX * k, KK, NU * NX * sizeof(double));
+        std::memcpy(K.data() + NU * NXD * k, KK, NU * NXD * sizeof(double));
 
         // value update: Vx = Qx + K^T (Quu k - 2 Qu); Vxx = Qxx - Qxu K
         double Quuk[NU];
@@ -849,29 +985,29 @@ static void solve_fddp(const Problem& P, const double* x0,
           for (int j = 0; j < NU; ++j) s += Quu[i * NU + j] * kk[j];
           Quuk[i] = s;
         }
-        double Vx_new[NX], Vxx_new[NX * NX];
-        for (int i = 0; i < NX; ++i) {
+        double Vx_new[NXD], Vxx_new[NXD * NXD];
+        for (int i = 0; i < NXD; ++i) {
           double s = Qx[i];
           for (int j = 0; j < NU; ++j)
-            s += KK[j * NX + i] * (Quuk[j] - 2.0 * Qu[j]);
+            s += KK[j * NXD + i] * (Quuk[j] - 2.0 * Qu[j]);
           Vx_new[i] = s;
         }
-        for (int i = 0; i < NX; ++i)
-          for (int j = 0; j < NX; ++j) {
-            double s = Qxx[i * NX + j];
-            for (int l = 0; l < NU; ++l) s -= Qxu[i * NU + l] * KK[l * NX + j];
-            Vxx_new[i * NX + j] = s;
+        for (int i = 0; i < NXD; ++i)
+          for (int j = 0; j < NXD; ++j) {
+            double s = Qxx[i * NXD + j];
+            for (int l = 0; l < NU; ++l) s -= Qxu[i * NU + l] * KK[l * NXD + j];
+            Vxx_new[i * NXD + j] = s;
           }
-        for (int i = 0; i < NX; ++i)
+        for (int i = 0; i < NXD; ++i)
           for (int j = 0; j < i; ++j) {
-            double m = 0.5 * (Vxx_new[i * NX + j] + Vxx_new[j * NX + i]);
-            Vxx_new[i * NX + j] = Vxx_new[j * NX + i] = m;
+            double m = 0.5 * (Vxx_new[i * NXD + j] + Vxx_new[j * NXD + i]);
+            Vxx_new[i * NXD + j] = Vxx_new[j * NXD + i] = m;
           }
-        for (int i = 0; i < NX; ++i) Vxx_new[i * NX + i] += xreg;
-        const double* fst = fs.data() + NX * k;
-        for (int i = 0; i < NX; ++i) {
+        for (int i = 0; i < NXD; ++i) Vxx_new[i * NXD + i] += xreg;
+        const double* fst = fs.data() + NXD * k;
+        for (int i = 0; i < NXD; ++i) {
           double s = 0;
-          for (int j = 0; j < NX; ++j) s += Vxx_new[i * NX + j] * fst[j];
+          for (int j = 0; j < NXD; ++j) s += Vxx_new[i * NXD + j] * fst[j];
           Vx_new[i] += gapw * s;
         }
         double qu_k = 0, k_Quuk = 0, vf = 0, fVf = 0, qu2 = 0;
@@ -880,16 +1016,16 @@ static void solve_fddp(const Problem& P, const double* x0,
           k_Quuk += kk[i] * Quuk[i];
           qu2 += Qu[i] * Qu[i];
         }
-        for (int i = 0; i < NX; ++i) vf += Vx_new[i] * fst[i];
-        for (int i = 0; i < NX; ++i)
-          for (int j = 0; j < NX; ++j)
-            fVf += fst[i] * Vxx_new[i * NX + j] * fst[j];
+        for (int i = 0; i < NXD; ++i) vf += Vx_new[i] * fst[i];
+        for (int i = 0; i < NXD; ++i)
+          for (int j = 0; j < NXD; ++j)
+            fVf += fst[i] * Vxx_new[i * NXD + j] * fst[j];
         dg += qu_k - gapw * vf;
         dq += -k_Quuk + gapw * fVf;
         stop += qu2;
         std::memcpy(Vx, Vx_new, sizeof(Vx_new));
         std::memcpy(Vxx, Vxx_new, sizeof(Vxx_new));
-        std::memcpy(Vxx_all.data() + NX * NX * k, Vxx, sizeof(Vxx_new));
+        std::memcpy(Vxx_all.data() + NXD * NXD * k, Vxx, sizeof(Vxx_new));
       }
       if (bw_bad) {
         if (xreg >= O.reg_max) { diverged = true; break; }
@@ -906,37 +1042,37 @@ static void solve_fddp(const Problem& P, const double* x0,
       double alpha = std::pow(0.5, ai);
       double gap_scale = feasible ? 0.0 : (alpha - 1.0);
       // rollout
-      double xcur[NX];
+      double xcur[NXD];
       std::memcpy(xcur, x0, sizeof(xcur));
       double ct = 0;
       bool finite = true;
       for (int k = 0; k < N; ++k) {
-        double dx[NX];
-        for (int i = 0; i < NX; ++i) dx[i] = xcur[i] - xs[NX * k + i];
+        double dx[NXD];
+        for (int i = 0; i < NXD; ++i) dx[i] = xcur[i] - xs[NXD * k + i];
         double u[NU];
         for (int i = 0; i < NU; ++i) {
           double s = us[NU * k + i] - alpha * kff[NU * k + i];
-          for (int j = 0; j < NX; ++j) s -= K[NU * NX * k + i * NX + j] * dx[j];
+          for (int j = 0; j < NXD; ++j) s -= K[NU * NXD * k + i * NXD + j] * dx[j];
           if (O.use_box) s = std::min(std::max(s, lb_abs[i]), ub_abs[i]);
           u[i] = s;
         }
-        double xn[NX], c;
-        knot_calc(P.W, P.refs, P.surface[k], false, P.refs.pv + 6 * k, xcur,
+        double xn[NXD], c;
+        knot_calc_t<NXD>(P.W, P.refs, P.surface[k], false, P.refs.pv + 6 * k, xcur,
                   u, xn, &c);
-        std::memcpy(xs_try.data() + NX * k, xcur, NX * sizeof(double));
+        std::memcpy(xs_try.data() + NXD * k, xcur, NXD * sizeof(double));
         std::memcpy(us_try.data() + NU * k, u, NU * sizeof(double));
         ct += c;
-        for (int i = 0; i < NX; ++i)
-          xcur[i] = xn[i] + gap_scale * fs[NX * (k + 1) + i];
+        for (int i = 0; i < NXD; ++i)
+          xcur[i] = xn[i] + gap_scale * fs[NXD * (k + 1) + i];
         if (!std::isfinite(ct)) { finite = false; break; }
       }
       if (finite) {
         double cT;
-        double xTn[NX];
-        knot_calc(P.W, P.refs, P.surface[N - 1], true, P.refs.pv + 6 * N,
+        double xTn[NXD];
+        knot_calc_t<NXD>(P.W, P.refs, P.surface[N - 1], true, P.refs.pv + 6 * N,
                   xcur, nullptr, xTn, &cT);
         ct += cT;
-        std::memcpy(xs_try.data() + NX * N, xcur, NX * sizeof(double));
+        std::memcpy(xs_try.data() + NXD * N, xcur, NXD * sizeof(double));
         finite = std::isfinite(ct);
       }
       if (!finite) continue;
@@ -944,15 +1080,15 @@ static void solve_fddp(const Problem& P, const double* x0,
       // gap-aware expected improvement
       double dv = 0;
       for (int k = 0; k <= N; ++k) {
-        const double* fst = fs.data() + NX * k;
-        const double* Vxxk = Vxx_all.data() + NX * NX * k;
-        double dxk[NX];
-        for (int i = 0; i < NX; ++i)
-          dxk[i] = xs[NX * k + i] - xs_try[NX * k + i];
+        const double* fst = fs.data() + NXD * k;
+        const double* Vxxk = Vxx_all.data() + NXD * NXD * k;
+        double dxk[NXD];
+        for (int i = 0; i < NXD; ++i)
+          dxk[i] = xs[NXD * k + i] - xs_try[NXD * k + i];
         double s = 0;
-        for (int i = 0; i < NX; ++i) {
+        for (int i = 0; i < NXD; ++i) {
           double vi = 0;
-          for (int j = 0; j < NX; ++j) vi += Vxxk[i * NX + j] * dxk[j];
+          for (int j = 0; j < NXD; ++j) vi += Vxxk[i * NXD + j] * dxk[j];
           s += fst[i] * vi;
         }
         dv -= s;
@@ -994,13 +1130,14 @@ static void solve_fddp(const Problem& P, const double* x0,
   out->us = us;
   out->K = K;
   out->kff = kff;
-  out->cost = total_calc(P, xs.data(), us.data(), nullptr);
+  out->cost = total_calc<NXD>(P, xs.data(), us.data(), nullptr);
   out->iters = it;
   out->feasible = feasible;
   out->reg = xreg;
 }
 
 static void unpack_weights(const double* w, Weights* W) {
+  std::memset(W, 0, sizeof(Weights));
   int i = 0;
   W->dt_ocp = w[i++];
   W->w_posture = w[i++]; W->w_v = w[i++]; W->w_q_soft = w[i++];
@@ -1021,12 +1158,25 @@ static void unpack_weights(const double* w, Weights* W) {
   for (int k = 0; k < 7; ++k) W->q_upper[k] = w[i++];
 }
 
+// augmented flat layout: the 60 classical doubles followed by
+// [alpha_lpf, w_w, w_w_soft, w_soft_margin, w_y,
+//  use_inner_state_reg, use_inner_tau_reg, y_weights[21]]  (88 total)
+static void unpack_weights_aug(const double* w, Weights* W) {
+  unpack_weights(w, W);
+  int i = 60;
+  W->alpha_lpf = w[i++];
+  W->w_w = w[i++]; W->w_w_soft = w[i++]; W->w_soft_margin = w[i++];
+  W->w_y = w[i++];
+  W->use_inner_state_reg = w[i++]; W->use_inner_tau_reg = w[i++];
+  for (int k = 0; k < 21; ++k) W->y_weights[k] = w[i++];
+}
+
 }  // namespace oracle
 
 extern "C" {
 
 // Single-knot oracle calc: for unit-testing the cost/dynamics stack.
-// weights: flat array (see unpack_weights, 53 doubles).
+// weights: flat array (see unpack_weights, 60 doubles).
 // ref_pv: (6,) p_ref+v_ref; shared refs: x_reg_ref(14), tau_ref(7), R_des(9).
 void ffmpc_oracle_knot_calc(const double* weights, const double* ref_pv,
                             const double* x_reg_ref, const double* tau_ref,
@@ -1035,9 +1185,27 @@ void ffmpc_oracle_knot_calc(const double* weights, const double* ref_pv,
                             double* cost) {
   oracle::Weights W;
   oracle::unpack_weights(weights, &W);
-  oracle::Refs refs{nullptr, x_reg_ref, tau_ref, R_des, 0};
-  oracle::knot_calc(W, refs, surface != 0, terminal != 0, ref_pv, x, u, xnext,
-                    cost);
+  oracle::Refs refs{nullptr, x_reg_ref, tau_ref, R_des, nullptr, 0};
+  // preserve the classical terminal semantics: u is ignored (crocoddyl's
+  // terminal calc runs at u = unone)
+  oracle::knot_calc(W, refs, surface != 0, terminal != 0, ref_pv, x,
+                    terminal != 0 ? nullptr : u, xnext, cost);
+}
+
+// Augmented-family single-knot calc: y (21,), w (7,) -> ynext (21,), cost.
+void ffmpc_oracle_knot_calc_aug(const double* weights, const double* ref_pv,
+                                const double* x_reg_ref,
+                                const double* tau_ref, const double* R_des,
+                                const double* y_ref, int surface,
+                                int terminal, const double* y,
+                                const double* w, double* ynext,
+                                double* cost) {
+  oracle::Weights W;
+  oracle::unpack_weights_aug(weights, &W);
+  oracle::Refs refs{nullptr, x_reg_ref, tau_ref, R_des, y_ref, 0};
+  oracle::knot_calc_t<oracle::NY>(
+      W, refs, surface != 0, terminal != 0, ref_pv, y,
+      terminal != 0 ? nullptr : w, ynext, cost);
 }
 
 // Full shooting solve.  pv: (N+1, 6) refs; surface: (N,) ints;
@@ -1051,16 +1219,41 @@ void ffmpc_oracle_solve(const double* weights, const double* pv,
                         int* iters_out) {
   oracle::Problem P;
   oracle::unpack_weights(weights, &P.W);
-  P.refs = oracle::Refs{pv, x_reg_ref, tau_ref, R_des, N};
+  P.refs = oracle::Refs{pv, x_reg_ref, tau_ref, R_des, nullptr, N};
   P.N = N;
   P.surface.assign(surface, surface + N);
   oracle::SolveOpts O;
   O.max_iters = max_iters;
   O.use_box = use_box;
   oracle::SolveOut out;
-  oracle::solve_fddp(P, x0, xs_init, us_init, O, &out);
+  oracle::solve_fddp<oracle::NX>(P, x0, xs_init, us_init, O, &out);
   std::memcpy(xs_out, out.xs.data(), out.xs.size() * sizeof(double));
   std::memcpy(us_out, out.us.data(), out.us.size() * sizeof(double));
+  *cost_out = out.cost;
+  *iters_out = out.iters;
+}
+
+// Augmented-family shooting solve: ys (N+1, 21), ws (N, 7).
+void ffmpc_oracle_solve_aug(const double* weights, const double* pv,
+                            const int* surface, const double* x_reg_ref,
+                            const double* tau_ref, const double* R_des,
+                            const double* y_ref, int N, const double* y0,
+                            const double* ys_init, const double* ws_init,
+                            int max_iters, int use_box, double* ys_out,
+                            double* ws_out, double* cost_out,
+                            int* iters_out) {
+  oracle::Problem P;
+  oracle::unpack_weights_aug(weights, &P.W);
+  P.refs = oracle::Refs{pv, x_reg_ref, tau_ref, R_des, y_ref, N};
+  P.N = N;
+  P.surface.assign(surface, surface + N);
+  oracle::SolveOpts O;
+  O.max_iters = max_iters;
+  O.use_box = use_box;
+  oracle::SolveOut out;
+  oracle::solve_fddp<oracle::NY>(P, y0, ys_init, ws_init, O, &out);
+  std::memcpy(ys_out, out.xs.data(), out.xs.size() * sizeof(double));
+  std::memcpy(ws_out, out.us.data(), out.us.size() * sizeof(double));
   *cost_out = out.cost;
   *iters_out = out.iters;
 }
