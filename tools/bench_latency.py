@@ -51,7 +51,7 @@ def main():
     xs_w = jnp.tile(y0p, (N + 1, 1))
     us_w = jnp.tile(tau_g, (N, 1))
 
-    def make_fn(calc_mode, deriv_mode, settings):
+    def make_fn(calc_mode, deriv_mode, settings, batch1=False):
         knot = make_augmented_knot(model, W, surface=True,
                                    deriv_mode=deriv_mode, calc_mode=calc_mode)
 
@@ -61,28 +61,55 @@ def main():
                 dtype=dtype)
             return solve(knot, refs_run, ref_T, x0, xs, us, settings)
 
-        return jax.jit(f)
+        if not batch1:
+            return jax.jit(f)
+        # the fused Pallas kernels engage under vmap (custom_vmap rule):
+        # wrap the single solve as a B=1 batch so the backward/rollout run
+        # as one-kernel-launch sweeps padded to one 128-lane tile
+        fv = jax.vmap(f, in_axes=(None, 0, 0, 0))
+
+        def f1(t, x0, xs, us):
+            res = fv(t, x0[None], xs[None], us[None])
+            return jax.tree.map(lambda a: a[0], res)
+
+        return jax.jit(f1)
 
     configs = {
         "scalar-10": ("scalar", "scalar",
-                      FDDPSettings(max_iters=10, use_box=True)),
+                      FDDPSettings(max_iters=10, use_box=True), False),
         "vector-10": ("vector", "analytic",
-                      FDDPSettings(max_iters=10, use_box=True)),
+                      FDDPSettings(max_iters=10, use_box=True), False),
         "vecpar-10": ("vector", "analytic",
                       FDDPSettings(max_iters=10, use_box=True,
-                                   riccati_mode="parallel")),
+                                   riccati_mode="parallel"), False),
         "vecwhile-10": ("vector", "analytic",
                         FDDPSettings(max_iters=10, use_box=True,
-                                     linesearch_mode="while")),
+                                     linesearch_mode="while"), False),
         "rti-1": ("vector", "analytic",
                   FDDPSettings(max_iters=1, use_box=True,
-                               riccati_mode="parallel")),
+                               riccati_mode="parallel"), False),
+        # fused-kernel configurations at B=1 (VERDICT r3 item 3): the whole
+        # backward sweep (and, for kern-10, the line-search rollout) run as
+        # single Pallas launches instead of per-knot scan fusions
+        "kernvec-10": ("vector", "analytic",
+                       FDDPSettings(max_iters=10, use_box=True,
+                                    backward_mode="pallas"), True),
+        "kern-10": ("scalar", "scalar",
+                    FDDPSettings(max_iters=10, use_box=True,
+                                 backward_mode="pallas",
+                                 rollout_mode="pallas"), True),
+        "kern-rti-1": ("vector", "analytic",
+                       FDDPSettings(max_iters=1, use_box=True,
+                                    backward_mode="pallas"), True),
     }
+    only = [a for a in sys.argv[2:] if not a.startswith("-")]
+    if only:
+        configs = {k: v for k, v in configs.items() if k in only}
 
     out = {}
     t_arg = jnp.asarray(1.2, dtype)
-    for name, (cm, dm, st) in configs.items():
-        fn = make_fn(cm, dm, st)
+    for name, (cm, dm, st, b1) in configs.items():
+        fn = make_fn(cm, dm, st, batch1=b1)
         t_c0 = time.perf_counter()
         res = fn(t_arg, y0p, xs_w, us_w)
         jax.block_until_ready(res)

@@ -97,9 +97,15 @@ def main():
     ap.add_argument("--time", type=float, default=2.0)
     ap.add_argument("--closedloop", action="store_true")
     ap.add_argument("--out", default="results_fidelity.json")
+    ap.add_argument("--save-fixture", default=None,
+                    help="npz path to dump the host recording (torques + "
+                         "telemetry) for the regression test")
     args = ap.parse_args()
 
     rec, sim, traj, cfg, mpc = host_leg(args.time)
+    if args.save_fixture:
+        np.savez_compressed(args.save_fixture, **rec)
+        print("fixture:", args.save_fixture, flush=True)
     out = {"time_s": args.time}
     host_m = contact_metrics(rec["t"], rec["ee"], rec["fn"], traj)
     out["host_metrics"] = host_m
