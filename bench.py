@@ -73,13 +73,16 @@ def main():
     lat_ms = float("nan")
     reps = 3
     for B in batches:
-        args = make_args(B)
-        out = solve_j(*args)            # compile + warm
+        # distinct inputs per rep and a block on EVERY output: guards the
+        # measurement against any result-memoization / lazy-materialization
+        # in the remote-device path (a r3 run once reported a physically
+        # impossible 0.17 ms batch latency with identical repeated inputs)
+        argsets = [make_args(B) for _ in range(reps)]
+        out = solve_j(*argsets[0])      # compile + warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = solve_j(*args)
-        jax.block_until_ready(out)
+        outs = [solve_j(*a) for a in argsets]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         rate = B / dt
         if rate > best:

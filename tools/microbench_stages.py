@@ -6,7 +6,8 @@ Times, as separate jitted programs on the accelerator:
   - backward Riccati sweep (boxqp path)
   - alpha-batched forward rollout (scan over N, vmap over alphas)
 
-Usage: python tools/microbench_stages.py [B]
+Usage: python tools/microbench_stages.py [B] [deriv_mode]
+(deriv_mode: scalar | analytic; default scalar — the shipped TPU config)
 """
 
 import sys
@@ -33,7 +34,7 @@ def timeit(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def main(B=256):
+def main(B=256, deriv="scalar"):
     from ffmpc_tpu.core import gravity_torque
     from ffmpc_tpu.ocp.problem import build_problem_refs
     from ffmpc_tpu.ocp.action import make_augmented_knot
@@ -43,7 +44,7 @@ def main(B=256):
     dtype = jnp.float32
     model, W, _, traj, ep0, q0 = _common(dtype, horizon=40, max_iters=10)
     N = 40
-    knot = make_augmented_knot(model, W, surface=True)
+    knot = make_augmented_knot(model, W, surface=True, deriv_mode=deriv)
 
     tau_g = np.asarray(gravity_torque(model, jnp.asarray(q0, dtype)))
     y0 = np.concatenate([q0, np.zeros(7), tau_g]).astype(np.float32)
@@ -125,4 +126,5 @@ def main(B=256):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256,
+         sys.argv[2] if len(sys.argv) > 2 else "scalar")
