@@ -46,7 +46,11 @@ def main():
         linesearch_mode=_os.environ.get("FFMPC_LS_MODE", "batched"))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
-                       ff_alpha_ctrl=ep0.ff_alpha_ctrl)
+                       ff_alpha_ctrl=ep0.ff_alpha_ctrl,
+                       # "auto" resolves to the scalar-channel analytic
+                       # derivatives on TPU; "scalar_unroll" additionally
+                       # unrolls the 7 one-hot tangent sweeps (full-lane)
+                       deriv_mode=_os.environ.get("FFMPC_DERIV_MODE", "auto"))
     solve = make_batched_solve_fn(model, W, settings, traj, ep, q0,
                                   surface=True, dtype=dtype)
     solve_j = jax.jit(solve)
@@ -70,7 +74,7 @@ def main():
                     os.environ.get("FFMPC_BENCH_BATCHES", "256").split(","))
     best = 0.0
     best_B = 0
-    lat_ms = float("nan")
+    lat_ms = mean_iters = float("nan")
     reps = 3
     for B in batches:
         # distinct inputs per rep and a block on EVERY output: guards the
@@ -87,6 +91,9 @@ def main():
         rate = B / dt
         if rate > best:
             best, best_B, lat_ms = rate, B, dt * 1e3
+            # iteration-count honesty: solves/s is only comparable at the
+            # full budget; report how many iterations actually ran
+            mean_iters = float(np.mean(np.asarray(outs[-1].iters)))
     # ---- B=1 replan latency vs the 5 ms budget (BASELINE.md:33) --------
     # Two views: (a) host-dispatched single solve — includes the host->device
     # dispatch path, the honest number for a host-driven 200 Hz loop;
@@ -109,19 +116,22 @@ def main():
                                 surface=True, dtype=dtype,
                                 calc_mode="vector"))
 
-        def sample_ms(fn, args, n=50):
-            out = fn(*args)
+        def sample_ms(fn, argsets):
+            # distinct inputs per sample + block on every output (same
+            # memoization guard as the batch loop above)
+            out = fn(*argsets[0])
             jax.block_until_ready(out)
             s = []
-            for _ in range(n):
+            for a in argsets[1:]:
                 t0 = time.perf_counter()
-                out = fn(*args)
+                out = fn(*a)
                 jax.block_until_ready(out)
                 s.append((time.perf_counter() - t0) * 1e3)
             return np.asarray(s)
 
-        args1 = make_args(1)
-        samples = sample_ms(solve_lat, args1)
+        argsets1 = [make_args(1) for _ in range(51)]
+        jax.block_until_ready(argsets1)
+        samples = sample_ms(solve_lat, argsets1)
         replan_p50 = float(np.percentile(samples, 50))
         replan_p99 = float(np.percentile(samples, 99))
         # RTI mode: one solver iteration per tick (warm start + reg carry
@@ -131,7 +141,7 @@ def main():
         solve_rti = jax.jit(_mk(model, W, settings_rti, traj, ep_lat, q0,
                                 surface=True, dtype=dtype,
                                 calc_mode="vector"))
-        rti_samples = sample_ms(solve_rti, args1)
+        rti_samples = sample_ms(solve_rti, argsets1)
         rti_p50 = float(np.percentile(rti_samples, 50))
         # estimated on-device per-iteration time with the host->device
         # dispatch roundtrip removed (dispatch ~= the B=0-work floor; the
@@ -175,6 +185,7 @@ def main():
         "n_chips": n_chips,
         "batch": best_B,
         "batch_latency_ms": round(lat_ms, 2),
+        "mean_iters": round(mean_iters, 2),
         "replan_latency_ms_b1": round(replan_p50, 2),
         "replan_latency_ms_b1_p99": round(replan_p99, 2),
         "rti_tick_latency_ms_b1": round(rti_p50, 2),

@@ -225,6 +225,26 @@ def stack_mat(M, like):
     return _jnp.stack([conv(x) for x in M])
 
 
+def _jacfwd7(f, x_vec, unroll: bool):
+    """Jacobian of ``f`` at the 7-vector ``x_vec``.
+
+    ``unroll=False``: plain ``jax.jacfwd`` (vmap over tangents).  Under the
+    solver's outer sample vmap the 7/14-wide tangent axis lands as a
+    trailing lane dim, leaving most of the 128 TPU lanes idle in every
+    sweep op.  ``unroll=True``: seven one-hot ``jvp`` sweeps unrolled at
+    trace time — each tangent sweep is its own full-lane op set, and XLA
+    CSE collapses the seven identical primal subgraphs."""
+    if not unroll:
+        return jax.jacfwd(f)(x_vec)
+    cols = []
+    for i in range(7):
+        e = np.zeros(7)
+        e[i] = 1.0
+        _, tan = jax.jvp(f, (x_vec,), (jnp.asarray(e, x_vec.dtype),))
+        cols.append(tan)
+    return jax.tree.map(lambda *c: jnp.stack(c, axis=-1), *cols)
+
+
 class ChainFreeDerivs(NamedTuple):
     acc: jnp.ndarray       # (7,)
     da_dx: jnp.ndarray     # (7, 14)
@@ -245,7 +265,9 @@ class ChainContactDerivs(NamedTuple):
 
 
 def free_dynamics_derivs_chain(mc: ChainConsts, q_vec, v_vec, u_vec,
-                               extra_q_fn=None) -> ChainFreeDerivs:
+                               extra_q_fn=None,
+                               tangent_unroll: bool = False
+                               ) -> ChainFreeDerivs:
     """Free forward dynamics + analytic first derivatives, scalar-channel.
 
     Same implicit-function structure as dynamics.free_dynamics_derivs
@@ -275,8 +297,8 @@ def free_dynamics_derivs_chain(mc: ChainConsts, q_vec, v_vec, u_vec,
         tau_r, _ = chain_rnea(mc, f, q, vv, acc)
         return jnp.stack(tau_r)
 
-    G1q, extras_jac = jax.jacfwd(g1_q)(q_vec)
-    G1v = jax.jacfwd(g1_v)(v_vec)
+    G1q, extras_jac = _jacfwd7(g1_q, q_vec, tangent_unroll)
+    G1v = _jacfwd7(g1_v, v_vec, tangent_unroll)
     G1 = jnp.concatenate([G1q, G1v], axis=1)                 # (7, 14)
 
     L_arr = stack_mat(L, L[0][0])
@@ -291,7 +313,9 @@ def free_dynamics_derivs_chain(mc: ChainConsts, q_vec, v_vec, u_vec,
 def contact_dynamics_derivs_chain(mc: ChainConsts, q_vec, v_vec, u_vec, *,
                                   ref_pos, nc1: bool, baumgarte_kp: float,
                                   baumgarte_kd: float, damping_c: float,
-                                  extra_q_fn=None) -> ChainContactDerivs:
+                                  extra_q_fn=None,
+                                  tangent_unroll: bool = False
+                                  ) -> ChainContactDerivs:
     """Damped-KKT contact dynamics + analytic first derivatives,
     scalar-channel (the twin of dynamics.contact_dynamics_derivs).
 
@@ -364,8 +388,8 @@ def contact_dynamics_derivs_chain(mc: ChainConsts, q_vec, v_vec, u_vec, *,
               for r in range(nc)]
         return jnp.stack(tau_r), jnp.stack(h2)
 
-    G1q, H2q, extras_jac = jax.jacfwd(kkt_q)(q_vec)
-    G1v, H2v = jax.jacfwd(kkt_v)(v_vec)
+    G1q, H2q, extras_jac = _jacfwd7(kkt_q, q_vec, tangent_unroll)
+    G1v, H2v = _jacfwd7(kkt_v, v_vec, tangent_unroll)
     G1 = jnp.concatenate([G1q, G1v], axis=1)                 # (7, 14)
     H2 = jnp.concatenate([H2q, H2v], axis=1)                 # (nc, 14)
 

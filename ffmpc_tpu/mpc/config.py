@@ -92,6 +92,11 @@ class ClassicalMPCConfig:
     # implicit regularization keeping the plan near the gentle warm start.
     cold_start_iters: int = 0
     use_box_fddp: bool = True
+    # Backward-sweep mode: "sequential" (Crocoddyl-style scan) or
+    # "parallel" (O(log N) associative-scan Riccati) — the latter is the
+    # latency-oriented choice for B=1 replans / RTI ticks (measured 414 ->
+    # 103 ms p50 through the tunnel at 10 iters; ROADMAP round-2 table).
+    riccati_mode: str = "sequential"
     mpc_update_steps: int = 1
     use_feedback_policy: bool = True
     feedback_gain_scale: float = 1.0

@@ -86,15 +86,17 @@ class _MPCBase:
                                 "fn_pred": np.nan}
 
         croco = bool(getattr(cfg, "crocoddyl_solver_semantics", False))
+        riccati = str(getattr(cfg, "riccati_mode", "sequential"))
         self._settings = FDDPSettings(
             max_iters=int(cfg.max_iters), use_box=bool(cfg.use_box_fddp),
-            crocoddyl_semantics=croco)
+            riccati_mode=riccati, crocoddyl_semantics=croco)
         # Cold starts (init / mode switch / divergence reset) may get their
         # own budget (see config note: bigger is not automatically better).
         cold_iters = int(getattr(cfg, "cold_start_iters", 0))
         self._settings_cold = FDDPSettings(
             max_iters=cold_iters if cold_iters > 0 else int(cfg.max_iters),
-            use_box=bool(cfg.use_box_fddp), crocoddyl_semantics=croco)
+            use_box=bool(cfg.use_box_fddp), riccati_mode=riccati,
+            crocoddyl_semantics=croco)
         # regularization carried across ticks (see fddp.solve reg0); reset
         # alongside the warm start
         self._reg_carry = float(self._settings.reg_init)

@@ -459,12 +459,17 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
         from .scalar_knot import make_scalar_calc_classical
         calc, scalar_term_calc = make_scalar_calc_classical(model, W, surface)
 
-    if deriv_mode in ("analytic", "scalar"):
-        if deriv_mode == "scalar":
+    if deriv_mode in ("analytic", "scalar", "scalar_unroll"):
+        if deriv_mode in ("scalar", "scalar_unroll"):
             # analytic derivative structure with every tangent sweep running
-            # through the scalar-channel chain (lane-efficient on TPU)
+            # through the scalar-channel chain (lane-efficient on TPU).
+            # "scalar_unroll" additionally unrolls the 7 one-hot tangent
+            # sweeps so each is full-lane under the batch vmap instead of a
+            # trailing 7-wide lane dim (core.scalar_chain._jacfwd7).
             from .scalar_knot import make_scalar_analytic_classical
-            afn = make_scalar_analytic_classical(model, W, surface)
+            afn = make_scalar_analytic_classical(
+                model, W, surface,
+                tangent_unroll=(deriv_mode == "scalar_unroll"))
         else:
             def afn(ref, x, u, terminal):
                 return _classical_analytic(model, W, surface, nc, terminal,
@@ -492,7 +497,7 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
     if calc_mode == "scalar":
         term_calc = scalar_term_calc
 
-    if deriv_mode in ("analytic", "scalar"):
+    if deriv_mode in ("analytic", "scalar", "scalar_unroll"):
         def term_diff(ref, x):
             u0 = jnp.zeros(nu, x.dtype)
             _, res, Jx, _, _, _ = afn(ref, x, u0, True)
@@ -653,10 +658,12 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             Jw["w_soft"] = I7
         return ynext, res, Jy, Jw, Fy, Fw
 
-    if deriv_mode in ("analytic", "scalar"):
-        if deriv_mode == "scalar":
+    if deriv_mode in ("analytic", "scalar", "scalar_unroll"):
+        if deriv_mode in ("scalar", "scalar_unroll"):
             from .scalar_knot import make_scalar_analytic_augmented
-            aug_fn = make_scalar_analytic_augmented(model, W, surface)
+            aug_fn = make_scalar_analytic_augmented(
+                model, W, surface,
+                tangent_unroll=(deriv_mode == "scalar_unroll"))
         else:
             aug_fn = _aug_analytic
 
@@ -683,7 +690,7 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
     if calc_mode == "scalar":
         term_calc = scalar_term_calc
 
-    if deriv_mode in ("analytic", "scalar"):
+    if deriv_mode in ("analytic", "scalar", "scalar_unroll"):
         def term_diff(ref, y):
             w0 = jnp.zeros(nu, y.dtype)
             _, res, Jy, _, _, _ = aug_fn(ref, y, w0, True)

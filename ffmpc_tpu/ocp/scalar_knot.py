@@ -176,7 +176,8 @@ def _classical_raw_s(model: PandaModel, mc, W: OCPWeights, surface: bool,
 
 
 def make_scalar_analytic_classical(model: PandaModel, W: OCPWeights,
-                                   surface: bool):
+                                   surface: bool,
+                                   tangent_unroll: bool = False):
     """fn(ref, x, u, terminal) -> (xnext, res, Jx, Ju, Fx, Fu): the analytic
     derivative pass (same implicit-function structure as
     action._classical_analytic) with every tangent sweep running through the
@@ -219,11 +220,13 @@ def make_scalar_analytic_classical(model: PandaModel, W: OCPWeights,
                 mc, q_vec, v_vec, u, ref_pos=ref_pos, nc1=(nc == 1),
                 baumgarte_kp=float(W.contact_gains[0]),
                 baumgarte_kd=float(W.contact_gains[1]),
-                damping_c=float(W.contact_inv_damping), extra_q_fn=kin_of)
+                damping_c=float(W.contact_inv_damping), extra_q_fn=kin_of,
+                tangent_unroll=tangent_unroll)
             force, df_dx, df_du = dd.force, dd.df_dx, dd.df_du
         else:
             dd = free_dynamics_derivs_chain(mc, q_vec, v_vec, u,
-                                            extra_q_fn=kin_of)
+                                            extra_q_fn=kin_of,
+                                            tangent_unroll=tangent_unroll)
             force = df_dx = df_du = None
         dori_dq, dvel6_dq = dd.extras_jac
         acc, da_dx, da_du = dd.acc, dd.da_dx, dd.da_du
@@ -291,12 +294,14 @@ def make_scalar_analytic_classical(model: PandaModel, W: OCPWeights,
 
 
 def make_scalar_analytic_augmented(model: PandaModel, W: OCPWeights,
-                                   surface: bool):
+                                   surface: bool,
+                                   tangent_unroll: bool = False):
     """fn(ref, y, w, terminal) -> (ynext, res, Jy, Jw, Fy, Fw): the augmented
     LPF lift of make_scalar_analytic_classical (block assembly as in
     action._aug_analytic / the reference's hand-built Jacobians,
     crocoddyl_force_feedback.py:249-290), sentinel-aware."""
-    inner = make_scalar_analytic_classical(model, W, surface)
+    inner = make_scalar_analytic_classical(model, W, surface,
+                                           tangent_unroll=tangent_unroll)
     alpha = float(np.clip(W.ff_alpha, 0.0, 0.999999))
     beta = 1.0 - alpha
     dropped = []

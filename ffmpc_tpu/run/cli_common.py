@@ -44,6 +44,15 @@ def add_common_args(parser: argparse.ArgumentParser, default_results: Path):
     parser.add_argument("--device", choices=("cpu", "default"), default="cpu",
                         help="Backend for the per-tick solves: 'cpu' (host "
                              "loop default) or 'default' (jax default device).")
+    parser.add_argument("--rti", action="store_true",
+                        help="Real-time-iteration deployment mode: 1 solver "
+                             "iteration per tick + parallel (associative-"
+                             "scan) Riccati backward + warm start / "
+                             "regularization carry-over.  ~6 ms device time "
+                             "per tick at B=1 (RESULTS.md RTI table); "
+                             "quality is controller-dependent - the FF "
+                             "controller stays usable, the classical one "
+                             "needs the full budget.")
     parser.add_argument("--stable", action="store_true",
                         help="Apply the null-space stabilization patch on top "
                              "of the selected preset: stronger posture/yaw "
@@ -52,6 +61,13 @@ def add_common_args(parser: argparse.ArgumentParser, default_results: Path):
                              "null-space yaw excursion (~t=1.9 s, flat "
                              "benchmark) at a small tracking-stiffness cost.")
     parser.set_defaults(benchmark_mode=True)
+
+
+def rti_patch(cfg):
+    """Real-time-iteration overrides (see --rti)."""
+    cfg.max_iters = 1
+    cfg.riccati_mode = "parallel"
+    return cfg
 
 
 def stable_patch(cfg):
@@ -63,6 +79,19 @@ def stable_patch(cfg):
     cfg.w_q_soft_limits = max(float(cfg.w_q_soft_limits), 12.0)
     cfg.q_soft_limit_margin = max(float(cfg.q_soft_limit_margin), 0.08)
     return cfg
+
+
+def _chain_patches(*patches):
+    patches = [p for p in patches if p is not None]
+    if not patches:
+        return None
+
+    def apply(cfg):
+        for p in patches:
+            cfg = p(cfg) or cfg
+        return cfg
+
+    return apply
 
 
 def sweep_or_single(controller: str, args: argparse.Namespace):
@@ -81,7 +110,9 @@ def sweep_or_single(controller: str, args: argparse.Namespace):
         benchmark_mode=args.benchmark_mode,
         model_variant=args.model_variant,
         device=args.device,
-        config_patch=stable_patch if getattr(args, "stable", False) else None,
+        config_patch=_chain_patches(
+            stable_patch if getattr(args, "stable", False) else None,
+            rti_patch if getattr(args, "rti", False) else None),
     )
     if hasattr(args, "ff_tau_state_source"):
         kw["ff_tau_state_source"] = args.ff_tau_state_source

@@ -91,6 +91,10 @@ class FDDPSettings:
     # clause.  Used by the parity harness to measure the cost of our
     # robustness clamps (PARITY.md deviations 3-5) rather than assert it.
     crocoddyl_semantics: bool = False
+    # Flatten the (B, N) knot axes into one full-lane axis for the
+    # derivative pass under vmap(solve) (see make_flat_vdiff).  Layout-only;
+    # per-knot math identical.
+    flat_diff: bool = True
     # Return the lowest-cost iterate seen instead of the last one.
     # MEASURED NEGATIVE RESULT for MPC loops: with return_best the
     # controller repeatedly re-executes the stale shifted plan whenever the
@@ -173,6 +177,44 @@ def _compute_gaps(x0, xs, xnexts):
     return jnp.concatenate([fs0, fs_rest], axis=0)
 
 
+def make_flat_vdiff(knot: "KnotModel"):
+    """All-knot derivative pass with a lane-filling batch rule.
+
+    Unbatched (single solve): plain ``vmap(knot.diff)`` over the N knots.
+    Under ``vmap(solve)`` over B problems, the naive double-vmap leaves the
+    scalar-channel arrays shaped (B, N): XLA tiles the trailing (B, N) dims
+    onto (8 sublanes, 128 lanes), and N=40 fills only 40 of 128 lanes.
+    The batch rule instead flattens (B, N) -> (B*N,) — one full-lane axis —
+    runs a single vmap, and unflattens.  Purely a layout change: per-knot
+    math is identical."""
+
+    @jax.custom_batching.custom_vmap
+    def vdiff_all(refs_run, xs_run, us):
+        return jax.vmap(knot.diff)(refs_run, xs_run, us)
+
+    @vdiff_all.def_vmap
+    def _rule(axis_size, in_batched, refs_run, xs_run, us):
+        N = us.shape[-2]
+
+        def bcast(tree, tb):
+            return jax.tree.map(
+                lambda l, b: l if b else jnp.broadcast_to(
+                    l[None], (axis_size,) + l.shape), tree, tb)
+
+        refs_b = bcast(refs_run, in_batched[0])
+        xs_b = bcast(xs_run, in_batched[1])
+        us_b = bcast(us, in_batched[2])
+        flat = jax.tree.map(
+            lambda l: l.reshape((axis_size * N,) + l.shape[2:]),
+            (refs_b, xs_b, us_b))
+        out = jax.vmap(knot.diff)(*flat)
+        out = jax.tree.map(
+            lambda l: l.reshape((axis_size, N) + l.shape[1:]), out)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return vdiff_all
+
+
 def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
           settings: FDDPSettings = FDDPSettings(),
           debug_history: bool = False, reg0=None) -> FDDPResult:
@@ -197,7 +239,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
     alphas = 0.5 ** jnp.arange(S.n_alphas, dtype=dtype)
 
     vcalc = jax.vmap(knot.calc)
-    vdiff = jax.vmap(knot.diff)
+    vdiff = make_flat_vdiff(knot) if S.flat_diff else jax.vmap(knot.diff)
 
     def total_calc(xs, us):
         xnexts, costs = vcalc(refs_run, xs[:-1], us)

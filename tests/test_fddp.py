@@ -200,3 +200,29 @@ def test_fddp_batched_vmap(panda_problem):
     # batched result matches a single solve for element 0
     res0 = solve(knot, refs_run, ref_T, x0s[0], xs0[0], us0[0], st)
     assert np.allclose(np.asarray(res.us[0]), np.asarray(res0.us), atol=1e-8)
+
+
+def test_flat_diff_batched_identical(panda_problem):
+    """The lane-filling (B, N) -> (B*N,) derivative-pass flatten
+    (fddp.make_flat_vdiff) is layout-only: batched solves must be
+    IDENTICAL with it on and off."""
+    model, knot, refs_run, ref_T, x0, tau_g, N = panda_problem
+    B = 3
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.01 * rng.normal(size=(B, 14)))
+    xs0 = jnp.tile(x0s[:, None, :], (1, N + 1, 1))
+    us0 = jnp.tile(jnp.asarray(tau_g)[None, None, :], (B, N, 1))
+
+    def run(flat):
+        st = FDDPSettings(max_iters=6, use_box=True, flat_diff=flat)
+        return jax.vmap(lambda x0_, xs_, us_: solve(
+            knot, refs_run, ref_T, x0_, xs_, us_, st))(x0s, xs0, us0)
+
+    r1, r0 = run(True), run(False)
+    # not bitwise: the reshaped batch lets XLA fuse/tile reductions
+    # differently (measured ~5e-9 abs drift over 6 iterations at f64);
+    # anything beyond tight roundoff-amplification is a real bug
+    for name in ("xs", "us", "K", "k", "cost"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r0, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name)

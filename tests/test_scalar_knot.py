@@ -128,6 +128,44 @@ def test_scalar_diff_matches_analytic(family, surface, overrides):
                                atol=1e-9)
 
 
+@pytest.mark.parametrize("family,surface,overrides", [
+    ("classical", True, {}),
+    ("augmented", True, {"ff_alpha": 0.4}),
+    ("augmented", False, {"ff_alpha": 0.4}),
+])
+def test_scalar_unroll_diff_identical(family, surface, overrides):
+    """deriv_mode="scalar_unroll" (7 unrolled one-hot jvp sweeps — the
+    full-lane TPU layout, core.scalar_chain._jacfwd7) must be numerically
+    IDENTICAL to "scalar" (jacfwd tangent vmap): same ops, different
+    batching, zero tolerance."""
+    W = OCPWeights(contact_gains=(140.0, 80.0), w_q_soft_limits=5.0,
+                   w_tau_soft_limits=2.0, **overrides)
+    model = make_panda_model("plant", dtype=jnp.float64)
+    make = make_augmented_knot if family == "augmented" else make_classical_knot
+    ks = make(model, W, surface=surface, deriv_mode="scalar")
+    ku = make(model, W, surface=surface, deriv_mode="scalar_unroll")
+    _, _, refs_run, ref_T, q0, tau_g = _setup(W, surface, family)
+    ref0 = jax.tree.map(lambda a: a[0], refs_run)
+
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        q = np.asarray(q0) + 0.25 * rng.normal(size=7)
+        v = 0.6 * rng.normal(size=7)
+        tau = np.asarray(tau_g) + 2.0 * rng.normal(size=7)
+        if ks.nx == 21:
+            x = jnp.asarray(np.concatenate([q, v, tau]))
+        else:
+            x = jnp.asarray(np.concatenate([q, v]))
+        u = jnp.asarray(np.asarray(tau_g) + 1.5 * rng.normal(size=7))
+        ds = ks.diff(ref0, x, u)
+        du = ku.diff(ref0, x, u)
+        for name in ("xnext", "cost", "Fx", "Fu", "Lx", "Lu", "Lxx", "Lxu",
+                     "Luu"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(du, name)), np.asarray(getattr(ds, name)),
+                err_msg=name)
+
+
 def test_scalar_calc_vmaps():
     """Batched (vmapped) scalar calc == loop over singles."""
     W = OCPWeights(contact_gains=(140.0, 80.0), ff_alpha=0.4)
