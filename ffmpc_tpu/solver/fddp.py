@@ -93,8 +93,14 @@ class FDDPSettings:
     crocoddyl_semantics: bool = False
     # Flatten the (B, N) knot axes into one full-lane axis for the
     # derivative pass under vmap(solve) (see make_flat_vdiff).  Layout-only;
-    # per-knot math identical.
-    flat_diff: bool = True
+    # per-knot math identical.  MEASURED NEUTRAL on TPU at B=256/N=40
+    # (9.74 vs 9.56 ms per diff pass — XLA already tiles the nested layout
+    # adequately), so it stays off by default; kept for mesh layouts whose
+    # trailing dims are lane-hostile.  The companion tangent-sweep lever
+    # (deriv_mode="scalar_unroll", 7 unrolled one-hot jvp sweeps) is
+    # numerically identical to "scalar" but its 7x graph made the remote
+    # TPU compile pathological (>65 min, killed) — available, not default.
+    flat_diff: bool = False
     # Return the lowest-cost iterate seen instead of the last one.
     # MEASURED NEGATIVE RESULT for MPC loops: with return_best the
     # controller repeatedly re-executes the stale shifted plan whenever the
