@@ -101,20 +101,23 @@ def main():
     # fused in one scan) — the TPU-native real-time deployment shape, where
     # dispatch cost amortizes over the episode.
     if os.environ.get("FFMPC_BENCH_B1", "1") != "0":
-        # Low-latency configuration (measured winner, tools/bench_latency.py):
-        # vector-layout knots + associative-scan (parallel) Riccati.  The
-        # sequential backward scan dominates a B=1 solve (414 -> 103 ms);
-        # the scalar-channel layout only pays at batch widths.
+        # Low-latency configuration (measured winner, tools/bench_latency.py
+        # r4 sweep): the fused Pallas backward + rollout kernels at B=1 —
+        # each sweep is ONE kernel launch padded to a 128-lane tile, vs the
+        # XLA scan's hundreds of launches.  Measured 36.4 ms p50 / 40.5 p99
+        # for the full 10-iteration replan (vs 104.7/123.5 for the r3
+        # vector+parallel-Riccati config, and vs r3's shipped 119.5/216.2).
         from ffmpc_tpu.run.batch_runner import make_batched_solve_fn as _mk
         settings_lat = FDDPSettings(max_iters=10, use_box=True,
-                                    riccati_mode="parallel")
+                                    backward_mode="pallas",
+                                    rollout_mode="pallas")
         ep_lat = EpisodeConfig(controller="force_feedback", horizon=40,
                                ff_alpha_ocp=ep0.ff_alpha_ocp,
                                ff_alpha_ctrl=ep0.ff_alpha_ctrl,
-                               deriv_mode="analytic")
+                               deriv_mode="scalar")
         solve_lat = jax.jit(_mk(model, W, settings_lat, traj, ep_lat, q0,
                                 surface=True, dtype=dtype,
-                                calc_mode="vector"))
+                                calc_mode="scalar"))
 
         def sample_ms(fn, argsets):
             # distinct inputs per sample + block on every output (same
@@ -137,10 +140,11 @@ def main():
         # RTI mode: one solver iteration per tick (warm start + reg carry
         # does the converging across ticks) — the 200 Hz pipelining story.
         settings_rti = FDDPSettings(max_iters=1, use_box=True,
-                                    riccati_mode="parallel")
+                                    backward_mode="pallas",
+                                    rollout_mode="pallas")
         solve_rti = jax.jit(_mk(model, W, settings_rti, traj, ep_lat, q0,
                                 surface=True, dtype=dtype,
-                                calc_mode="vector"))
+                                calc_mode="scalar"))
         rti_samples = sample_ms(solve_rti, argsets1)
         rti_p50 = float(np.percentile(rti_samples, 50))
         # estimated on-device per-iteration time with the host->device
@@ -176,6 +180,19 @@ def main():
     n_chips = max(1, len([d for d in jax.devices()
                           if d.platform != "cpu"])) if jax.default_backend() != "cpu" else 1
     per_chip_target = 2000.0 / 8.0
+
+    def _r(x, nd=2):
+        # NaN-safe rounding: json.dump emits a bare NaN token (non-strict
+        # JSON) — emit null instead (ADVICE r3)
+        return round(float(x), nd) if np.isfinite(x) else None
+
+    # hardware-normalized accounting (VERDICT r3 item 6): analytic FLOPs per
+    # solve at the flagship shapes -> achieved FLOP/s and % of v5e peak
+    from ffmpc_tpu.utils.flops import flops_per_solve, PEAK_FLOPS
+    fps = flops_per_solve(N=ep.horizon, iters=10, nx=21, nu=7,
+                          n_alphas=settings.n_alphas,
+                          boxqp_iters=settings.boxqp_iters)
+    achieved_flops = best * fps
     print(json.dumps({
         "metric": "fddp_solves_per_s",
         "value": round(best, 1),
@@ -184,13 +201,18 @@ def main():
         "vs_northstar_8chip": round(best / 2000.0, 3),
         "n_chips": n_chips,
         "batch": best_B,
-        "batch_latency_ms": round(lat_ms, 2),
-        "mean_iters": round(mean_iters, 2),
-        "replan_latency_ms_b1": round(replan_p50, 2),
-        "replan_latency_ms_b1_p99": round(replan_p99, 2),
-        "rti_tick_latency_ms_b1": round(rti_p50, 2),
-        "solver_iter_ms_device_b1": round(iter_ms_device, 2),
-        "ondevice_closedloop_tick_ms_b1": round(ondevice_tick_ms, 2),
+        "batch_latency_ms": _r(lat_ms),
+        "mean_iters": _r(mean_iters),
+        "flops_per_solve": round(fps),
+        "achieved_gflops": _r(achieved_flops / 1e9, 1),
+        "mfu_vs_bf16_peak": _r(achieved_flops / PEAK_FLOPS["tpu_v5e_bf16"], 6),
+        "mfu_vs_fp32_vpu_peak": _r(
+            achieved_flops / PEAK_FLOPS["tpu_v5e_fp32_vpu"], 5),
+        "replan_latency_ms_b1": _r(replan_p50),
+        "replan_latency_ms_b1_p99": _r(replan_p99),
+        "rti_tick_latency_ms_b1": _r(rti_p50),
+        "solver_iter_ms_device_b1": _r(iter_ms_device),
+        "ondevice_closedloop_tick_ms_b1": _r(ondevice_tick_ms),
         "replan_budget_ms": 5.0,
         "horizon": ep.horizon,
         "max_iters": 10,

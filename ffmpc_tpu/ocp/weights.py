@@ -88,6 +88,45 @@ class OCPWeights:
     use_inner_tau_reg: bool = True
 
 
+FLAGSHIP_FF_CUTOFF_HZ = 25.0
+FLAGSHIP_DT_OCP = 0.01
+FLAGSHIP_DT_MPC = 0.005
+FLAGSHIP_Z_CONTACT = 0.342
+
+
+def flagship_ff_alpha(dt: float = FLAGSHIP_DT_OCP) -> float:
+    """LPF pole exp(-2*pi*fc*dt) at the benchmark cutoff (reference
+    _ff_alpha_ocp/_ctrl, crocoddyl_force_feedback.py:493-499)."""
+    return float(np.exp(-2.0 * np.pi * FLAGSHIP_FF_CUTOFF_HZ * dt))
+
+
+def flagship_weights() -> "OCPWeights":
+    """The single source of truth for the flagship benchmark OCP config
+    (N=40 force-feedback augmented contact problem).  Used by
+    __graft_entry__, bench.py and run/ensemble.py so the compile gate, the
+    headline bench and the ensemble sweep always solve the same problem."""
+    return OCPWeights(
+        dt_ocp=FLAGSHIP_DT_OCP, w_ee_pos=1.2e3, w_ee_ori=4.5e1,
+        w_q_soft_limits=8.0, w_tau_soft_limits=1.5,
+        w_plane_z=9.0e2, w_vz=3.0e2, w_tangent_pos=3.6e3, w_tangent_vel=1.2e3,
+        contact_gains=(145.0, 85.0), fn_des=22.0, w_fn=3.0e1,
+        w_unilateral=3.0e1, w_friction_cone=0.0, z_press=0.0065,
+        ff_alpha=flagship_ff_alpha(), w_w=6.0e-4, w_w_soft_limits=2.0,
+        w_y=8.0e-4,
+    )
+
+
+def flagship_trajectory():
+    """The flagship approach-then-circle task (circle r=0.10 m at
+    omega=1.5 rad/s on the table plane; reference run_classical.py:712-713)."""
+    from ..tasks.trajectories import ApproachCircleTraj
+    z = FLAGSHIP_Z_CONTACT
+    return ApproachCircleTraj(
+        center=(-0.5, 0.0, z), radius=0.10, omega=1.5,
+        z_contact=z, t_approach=0.55, z_pre=z + 0.05,
+        t_pre=0.25, ee_start=(-0.3, 0.0, 0.633), t_stabilize=0.2)
+
+
 class ProblemRefs(NamedTuple):
     """Per-solve array data for one shooting problem (leading dim = N+1 where
     per-knot).  The builder samples the trajectory at t0 + k*dt_ocp

@@ -29,10 +29,10 @@ def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
     import jax
     import jax.numpy as jnp
     from ..core import make_panda_model, KEYFRAMES
-    from ..ocp.weights import OCPWeights
+    from ..ocp.weights import (flagship_weights, flagship_trajectory,
+                               flagship_ff_alpha, FLAGSHIP_DT_MPC)
     from ..solver.fddp import FDDPSettings
     from ..sim.device_plant import make_table_params
-    from ..tasks.trajectories import ApproachCircleTraj
     from ..parallel.mesh import make_dp_mesh, shard_batch
     from ..run.batch_runner import (make_episode_fn, EpisodeConfig,
                                     DeviceUncertainty)
@@ -43,26 +43,14 @@ def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
     settings_sc = scenario_settings(scenario)
 
     model = make_panda_model("plant", dtype=dtype)
-    alpha_ocp = float(np.exp(-2 * np.pi * 25.0 * 0.01))
-    W = OCPWeights(
-        dt_ocp=0.01, w_ee_pos=1.2e3, w_ee_ori=4.5e1,
-        w_q_soft_limits=8.0, w_tau_soft_limits=1.5,
-        w_plane_z=9.0e2, w_vz=3.0e2, w_tangent_pos=3.6e3, w_tangent_vel=1.2e3,
-        contact_gains=(145.0, 85.0), fn_des=22.0, w_fn=3.0e1,
-        w_unilateral=3.0e1, w_friction_cone=0.0, z_press=0.0065,
-        ff_alpha=alpha_ocp, w_w=6.0e-4, w_w_soft_limits=2.0, w_y=8.0e-4,
-    )
-    z_contact = 0.342
-    traj = ApproachCircleTraj(
-        center=(-0.5, 0.0, z_contact), radius=0.10, omega=1.5,
-        z_contact=z_contact, t_approach=0.55, z_pre=z_contact + 0.05,
-        t_pre=0.25, ee_start=(-0.3, 0.0, 0.633), t_stabilize=0.2)
+    W = flagship_weights()
+    traj = flagship_trajectory()
     table = make_table_params(settings_sc.tilt_deg, dtype=dtype)
     solver = FDDPSettings(max_iters=max_iters, use_box=True)
     ep = EpisodeConfig(
         controller=controller, horizon=horizon, n_ticks=ticks,
-        ff_alpha_ocp=alpha_ocp,
-        ff_alpha_ctrl=float(np.exp(-2 * np.pi * 25.0 * 0.005)))
+        ff_alpha_ocp=W.ff_alpha,
+        ff_alpha_ctrl=flagship_ff_alpha(FLAGSHIP_DT_MPC))
 
     unc = None
     if scenario == "actuation_uncertainty":

@@ -59,7 +59,6 @@ def main(total_time: float = 3.0, fn_des: float = 15.0,
         elif phase == "press":
             fi += kfi * (fn_des - obs.f_contact_normal) * sim.dt
             fi = float(np.clip(fi, -30.0, 30.0))
-            f_cmd[2] = -fn_des + fi * 0.0 - 0.0
             f_cmd[2] = -(fn_des + fi)
             if abs(obs.f_contact_normal - fn_des) < 1.0:
                 phase = "hold"

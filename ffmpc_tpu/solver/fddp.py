@@ -422,7 +422,8 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                 # gap-corrected model, cost increases unbounded.
                 ok_pos = (dVexp >= 0) & (dV > S.th_acceptstep * dVexp)
                 ok_neg = (dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
-                return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg), d1
+                return (xs_try, us_try, cost_try, finite & (ok_pos | ok_neg),
+                        d1, dVexp)
             cost_guard = S.neg_step_cost_factor * cost_cur + S.neg_step_cost_slack
             # The th_grad escape hatch means "expected gradient negligible,
             # accept to avoid stalling".  Crocoddyl tests d1 < th_grad, which
@@ -444,7 +445,8 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             # magnitude: bound each accepted increase multiplicatively.
             ok_neg = ((dVexp < 0) & (dV > S.th_acceptnegstep * dVexp)
                       & (cost_try < cost_guard))
-            return xs_try, us_try, cost_try, finite & (ok_pos | ok_neg), d1
+            return (xs_try, us_try, cost_try, finite & (ok_pos | ok_neg),
+                    d1, dVexp)
 
         def try_alpha(alpha):
             xs_try, us_try, cost_try = forward(c.xs, c.us, K, kff, fs,
@@ -457,25 +459,26 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
                 return (~ok) & (idx < S.n_alphas)
 
             def ls_body(st):
-                idx, _, xs_a, us_a, cost_a, alpha_a, d1_a = st
+                idx, _, xs_a, us_a, cost_a, alpha_a, d1_a, dve_a = st
                 alpha = alphas[idx]
-                xs_t, us_t, cost_t, ok, d1_t = try_alpha(alpha)
+                xs_t, us_t, cost_t, ok, d1_t, dve_t = try_alpha(alpha)
                 return (idx + 1, ok,
                         jnp.where(ok, xs_t, xs_a), jnp.where(ok, us_t, us_a),
                         jnp.where(ok, cost_t, cost_a),
                         jnp.where(ok, alpha, alpha_a),
-                        jnp.where(ok, d1_t, d1_a))
+                        jnp.where(ok, d1_t, d1_a),
+                        jnp.where(ok, dve_t, dve_a))
 
             st0 = (jnp.int32(0), jnp.asarray(False),
                    c.xs, c.us, cost_cur, alphas[-1],
-                   jnp.asarray(jnp.inf, dtype))
-            _, accepted, xs_try, us_try, cost_try, alpha_f, d1_sel = \
-                jax.lax.while_loop(ls_cond, ls_body, st0)
+                   jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype))
+            (_, accepted, xs_try, us_try, cost_try, alpha_f, d1_sel,
+             dvexp_sel) = jax.lax.while_loop(ls_cond, ls_body, st0)
         elif S.rollout_mode == "pallas":
             fused = make_fused_rollout(knot, S.n_alphas, S.use_box)
             xs_ts, us_ts, cost_ts = fused(x0, c.xs, c.us, K, kff, fs,
                                           feasible, refs_run, ref_T)
-            xs_tries, us_tries, cost_tries, ok_flags, d1s = jax.vmap(
+            xs_tries, us_tries, cost_tries, ok_flags, d1s, dves = jax.vmap(
                 accept_alpha)(alphas, xs_ts, us_ts, cost_ts)
             accepted = jnp.any(ok_flags)
             sel = jnp.argmax(ok_flags)
@@ -484,8 +487,10 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             cost_try = cost_tries[sel]
             alpha_f = alphas[sel]
             d1_sel = d1s[sel]
+            dvexp_sel = dves[sel]
         else:
-            xs_tries, us_tries, cost_tries, ok_flags, d1s = jax.vmap(try_alpha)(alphas)
+            (xs_tries, us_tries, cost_tries, ok_flags, d1s,
+             dves) = jax.vmap(try_alpha)(alphas)
             accepted = jnp.any(ok_flags)
             sel = jnp.argmax(ok_flags)        # first True == largest alpha
             xs_try = xs_tries[sel]
@@ -493,6 +498,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             cost_try = cost_tries[sel]
             alpha_f = alphas[sel]
             d1_sel = d1s[sel]
+            dvexp_sel = dves[sel]
 
         xs_new = jnp.where(accepted, xs_try, c.xs)
         us_new = jnp.where(accepted, us_try, c.us)
@@ -513,7 +519,8 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         aux = {
             "cost_cur": cost_cur, "cost_try": cost_try, "accepted": accepted,
             "alpha": alpha_f, "stop": stop, "xreg": xreg,
-            "dg": dg, "dq": dq, "gap_norm": gap_norm,
+            "dg": dg, "dq": dq, "d1": d1_sel, "dVexp": dvexp_sel,
+            "gap_norm": gap_norm,
             "feasible": feasible, "bw_bad": bw_bad,
         }
         improved = cost_new < c.best_cost

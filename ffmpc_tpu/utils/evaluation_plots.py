@@ -8,6 +8,7 @@ components vs refs, and the Cartesian xy path.
 
 from __future__ import annotations
 
+import shutil
 from pathlib import Path
 
 import numpy as np
@@ -15,6 +16,46 @@ import numpy as np
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
+
+_LATEX_PROBED = False
+
+
+def _configure_matplotlib() -> bool:
+    """LaTeX-if-available rcParams probe (reference
+    src/utils/evaluation_plots.py:9-49): deterministic STIX mathtext
+    defaults, upgraded to text.usetex serif rendering when a working system
+    LaTeX is found.  Returns True when LaTeX rendering is active."""
+    global _LATEX_PROBED
+    plt.rcParams.update({
+        "figure.figsize": (8.5, 4.8),
+        "font.size": 12,
+        "axes.grid": True,
+        "grid.alpha": 0.35,
+        "legend.frameon": True,
+        "legend.framealpha": 0.95,
+        "text.usetex": False,
+        "mathtext.fontset": "stix",
+        "font.family": "STIXGeneral",
+    })
+    _LATEX_PROBED = True
+    if shutil.which("latex") is None:
+        return False
+    prev = dict(plt.rcParams)
+    plt.rcParams.update({
+        "text.usetex": True,
+        "font.family": "serif",
+        "font.serif": ["Computer Modern Roman", "Times New Roman",
+                       "DejaVu Serif"],
+    })
+    try:
+        f, ax = plt.subplots(figsize=(1.0, 1.0))
+        ax.set_xlabel(r"$t\;(\mathrm{s})$")
+        f.canvas.draw()
+        plt.close(f)
+        return True
+    except Exception:
+        plt.rcParams.update(prev)
+        return False
 
 
 def _load(npz_path: Path) -> dict:
@@ -24,6 +65,8 @@ def _load(npz_path: Path) -> dict:
 
 def save_evaluation_plots(npz_path: Path | str, out_dir: Path | str,
                           fn_des: float) -> None:
+    if not _LATEX_PROBED:
+        _configure_matplotlib()
     d = _load(Path(npz_path))
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

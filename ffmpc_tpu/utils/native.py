@@ -262,3 +262,114 @@ def oracle_solve_aug(w_flat, pv, surface, x_reg_ref, tau_ref, R_des, y_ref,
         _p(ys_out), _p(ws_out), _p(cost),
         iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return ys_out, ws_out, float(cost[0]), int(iters[0])
+
+
+# ---- iterate-level tracing (VERDICT r3 item 3) ----------------------------
+
+# per-iteration trace row layout shared with the C++ side
+# (native/ffmpc_oracle.cpp TRACE_FIELDS)
+ORACLE_TRACE_FIELDS = ("cost_cur", "cost_try", "accepted", "alpha", "dg",
+                       "dq", "d1", "dVexp", "xreg", "gap_norm", "stop",
+                       "feasible", "bw_retries")
+
+
+def _bind_traced(lib):
+    if getattr(lib, "_traced_bound", False):
+        return
+    dp = ctypes.POINTER(ctypes.c_double)
+    ci = ctypes.c_int
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.ffmpc_oracle_solve_traced.argtypes = [
+        dp, dp, ip, dp, dp, dp, ci, dp, dp, dp, ci, ci, dp, dp, dp, ip, dp]
+    lib.ffmpc_oracle_solve_aug_traced.argtypes = [
+        dp, dp, ip, dp, dp, dp, dp, ci, dp, dp, dp, ci, ci, dp, dp, dp, ip,
+        dp]
+    lib.ffmpc_oracle_knot_diff.argtypes = [
+        dp, dp, dp, dp, dp, dp, ci, ci, ci, dp, dp, dp, dp, dp, dp, dp, dp,
+        dp, dp]
+    lib._traced_bound = True
+
+
+def oracle_solve_traced(w_flat, pv, surface, x_reg_ref, tau_ref, R_des, x0,
+                        xs_init, us_init, max_iters=10, use_box=True):
+    """Classical-family solve + per-iteration trace dict (each field a
+    (max_iters,) array; rows past the actual iteration count are zero)."""
+    lib = _load()
+    _bind_traced(lib)
+    cc = np.ascontiguousarray
+    N = len(surface)
+    surf = np.ascontiguousarray(np.asarray(surface, dtype=np.int32))
+    xs_out = np.zeros((N + 1, 14))
+    us_out = np.zeros((N, 7))
+    cost = np.zeros(1)
+    iters = np.zeros(1, dtype=np.int32)
+    trace = np.zeros((max_iters, len(ORACLE_TRACE_FIELDS)))
+    lib.ffmpc_oracle_solve_traced(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(pv, dtype=np.float64)),
+        surf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), N,
+        _p(cc(x0, dtype=np.float64)), _p(cc(xs_init, dtype=np.float64)),
+        _p(cc(us_init, dtype=np.float64)), int(max_iters), int(use_box),
+        _p(xs_out), _p(us_out), _p(cost),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _p(trace))
+    tr = {k: trace[:, i].copy() for i, k in enumerate(ORACLE_TRACE_FIELDS)}
+    return xs_out, us_out, float(cost[0]), int(iters[0]), tr
+
+
+def oracle_solve_aug_traced(w_flat, pv, surface, x_reg_ref, tau_ref, R_des,
+                            y_ref, y0, ys_init, ws_init, max_iters=10,
+                            use_box=True):
+    """Augmented-family solve + per-iteration trace dict."""
+    lib = _load()
+    _bind_traced(lib)
+    cc = np.ascontiguousarray
+    N = len(surface)
+    surf = np.ascontiguousarray(np.asarray(surface, dtype=np.int32))
+    ys_out = np.zeros((N + 1, 21))
+    ws_out = np.zeros((N, 7))
+    cost = np.zeros(1)
+    iters = np.zeros(1, dtype=np.int32)
+    trace = np.zeros((max_iters, len(ORACLE_TRACE_FIELDS)))
+    lib.ffmpc_oracle_solve_aug_traced(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(pv, dtype=np.float64)),
+        surf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), _p(cc(y_ref, dtype=np.float64)), N,
+        _p(cc(y0, dtype=np.float64)), _p(cc(ys_init, dtype=np.float64)),
+        _p(cc(ws_init, dtype=np.float64)), int(max_iters), int(use_box),
+        _p(ys_out), _p(ws_out), _p(cost),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _p(trace))
+    tr = {k: trace[:, i].copy() for i, k in enumerate(ORACLE_TRACE_FIELDS)}
+    return ys_out, ws_out, float(cost[0]), int(iters[0]), tr
+
+
+def oracle_knot_diff(w_flat, ref_pv, x_reg_ref, tau_ref, R_des, surface,
+                     terminal, x, u=None, y_ref=None, aug=False):
+    """Single-knot FD derivatives from the C++ oracle: dict with
+    Fx/Fu/Lx/Lu/Lxx/Lxu/Luu/cost at the given state — for cross-checking
+    the JAX analytic derivatives at captured (divergent) states."""
+    lib = _load()
+    _bind_traced(lib)
+    cc = np.ascontiguousarray
+    nx = 21 if aug else 14
+    if y_ref is None:
+        y_ref = np.zeros(21)
+    u = np.zeros(7) if u is None else u
+    Fx = np.zeros((nx, nx))
+    Fu = np.zeros((nx, 7))
+    Lx = np.zeros(nx)
+    Lu = np.zeros(7)
+    Lxx = np.zeros((nx, nx))
+    Lxu = np.zeros((nx, 7))
+    Luu = np.zeros((7, 7))
+    cost = np.zeros(1)
+    lib.ffmpc_oracle_knot_diff(
+        _p(cc(w_flat, dtype=np.float64)), _p(cc(ref_pv, dtype=np.float64)),
+        _p(cc(x_reg_ref, dtype=np.float64)), _p(cc(tau_ref, dtype=np.float64)),
+        _p(cc(R_des, dtype=np.float64)), _p(cc(y_ref, dtype=np.float64)),
+        int(aug), int(surface), int(terminal),
+        _p(cc(x, dtype=np.float64)), _p(cc(u, dtype=np.float64)),
+        _p(Fx), _p(Fu), _p(Lx), _p(Lu), _p(Lxx), _p(Lxu), _p(Luu), _p(cost))
+    return dict(Fx=Fx, Fu=Fu, Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu,
+                cost=float(cost[0]))

@@ -774,6 +774,7 @@ struct SolveOpts {
   double th_stepdec = 0.5, th_stepinc = 0.01;
   int use_box = 1;
   int boxqp_iters = 8;
+  int record_trace = 0;
 };
 
 struct Problem {
@@ -801,12 +802,17 @@ static double total_calc(const Problem& P, const double* xs, const double* us,
   return cost;
 }
 
+// per-iteration trace row (iterate-level parity vs the JAX solver's
+// debug_history — solver/fddp.py aux dict): see TRACE_FIELDS order below.
+static const int TRACE_FIELDS = 13;
+
 struct SolveOut {
   std::vector<double> xs, us, K, kff;
   double cost;
   int iters;
   bool feasible;
   double reg;
+  std::vector<double> trace;   // (max_iters, TRACE_FIELDS) when requested
 };
 
 template <int NXD>
@@ -862,9 +868,11 @@ static void solve_fddp(const Problem& P, const double* x0,
 
     // backward pass with reg retry
     double dg = 0, dq = 0, stop = 0;
+    int bw_retries = -1;
     bool bw_bad = true;
     while (bw_bad) {
       bw_bad = false;
+      bw_retries += 1;
       dg = dq = stop = 0;
       double Vx[NXD], Vxx[NXD * NXD];
       for (int i = 0; i < NXD * NXD; ++i) Vxx[i] = DT.Lxx[i];
@@ -1038,6 +1046,7 @@ static void solve_fddp(const Problem& P, const double* x0,
     // line search (descending alpha, first acceptable — crocoddyl)
     bool accepted = false;
     double alpha_f = 0.0, cost_try = cost_cur, d1_sel = 1e300;
+    double dVexp_sel = 0.0;
     for (int ai = 0; ai < O.n_alphas && !accepted; ++ai) {
       double alpha = std::pow(0.5, ai);
       double gap_scale = feasible ? 0.0 : (alpha - 1.0);
@@ -1105,7 +1114,18 @@ static void solve_fddp(const Problem& P, const double* x0,
         alpha_f = alpha;
         cost_try = ct;
         d1_sel = d1;
+        dVexp_sel = dVexp;
       }
+    }
+
+    if (O.record_trace) {
+      // field order shared with tools/parity_iterates.py and the JAX
+      // debug_history comparison (solver/fddp.py aux)
+      double row[TRACE_FIELDS] = {
+          cost_cur, cost_try, accepted ? 1.0 : 0.0, alpha_f, dg, dq,
+          d1_sel, dVexp_sel, xreg, gap_norm, stop, feasible ? 1.0 : 0.0,
+          double(bw_retries)};
+      out->trace.insert(out->trace.end(), row, row + TRACE_FIELDS);
     }
 
     if (accepted) {
@@ -1256,6 +1276,111 @@ void ffmpc_oracle_solve_aug(const double* weights, const double* pv,
   std::memcpy(ws_out, out.us.data(), out.us.size() * sizeof(double));
   *cost_out = out.cost;
   *iters_out = out.iters;
+}
+
+// Traced variants: additionally write a per-iteration trace
+// (max_iters x 12 doubles: cost_cur, cost_try, accepted, alpha, dg, dq,
+// d1, xreg_used, gap_norm, stop, feasible, bw_retries; unused rows zero)
+// and the actual iteration count — the iterate-level parity instrument
+// (VERDICT r3 item 3: first-divergence localization vs the JAX solver's
+// debug_history).
+void ffmpc_oracle_solve_traced(
+    const double* weights, const double* pv, const int* surface,
+    const double* x_reg_ref, const double* tau_ref, const double* R_des,
+    int N, const double* x0, const double* xs_init, const double* us_init,
+    int max_iters, int use_box, double* xs_out, double* us_out,
+    double* cost_out, int* iters_out, double* trace_out) {
+  oracle::Problem P;
+  oracle::unpack_weights(weights, &P.W);
+  P.refs = oracle::Refs{pv, x_reg_ref, tau_ref, R_des, nullptr, N};
+  P.N = N;
+  P.surface.assign(surface, surface + N);
+  oracle::SolveOpts O;
+  O.max_iters = max_iters;
+  O.use_box = use_box;
+  O.record_trace = 1;
+  oracle::SolveOut out;
+  oracle::solve_fddp<oracle::NX>(P, x0, xs_init, us_init, O, &out);
+  std::memcpy(xs_out, out.xs.data(), out.xs.size() * sizeof(double));
+  std::memcpy(us_out, out.us.data(), out.us.size() * sizeof(double));
+  *cost_out = out.cost;
+  *iters_out = out.iters;
+  std::memset(trace_out, 0,
+              size_t(max_iters) * oracle::TRACE_FIELDS * sizeof(double));
+  std::memcpy(trace_out, out.trace.data(),
+              out.trace.size() * sizeof(double));
+}
+
+void ffmpc_oracle_solve_aug_traced(
+    const double* weights, const double* pv, const int* surface,
+    const double* x_reg_ref, const double* tau_ref, const double* R_des,
+    const double* y_ref, int N, const double* y0, const double* ys_init,
+    const double* ws_init, int max_iters, int use_box, double* ys_out,
+    double* ws_out, double* cost_out, int* iters_out, double* trace_out) {
+  oracle::Problem P;
+  oracle::unpack_weights_aug(weights, &P.W);
+  P.refs = oracle::Refs{pv, x_reg_ref, tau_ref, R_des, y_ref, N};
+  P.N = N;
+  P.surface.assign(surface, surface + N);
+  oracle::SolveOpts O;
+  O.max_iters = max_iters;
+  O.use_box = use_box;
+  O.record_trace = 1;
+  oracle::SolveOut out;
+  oracle::solve_fddp<oracle::NY>(P, y0, ys_init, ws_init, O, &out);
+  std::memcpy(ys_out, out.xs.data(), out.xs.size() * sizeof(double));
+  std::memcpy(ws_out, out.us.data(), out.us.size() * sizeof(double));
+  *cost_out = out.cost;
+  *iters_out = out.iters;
+  std::memset(trace_out, 0,
+              size_t(max_iters) * oracle::TRACE_FIELDS * sizeof(double));
+  std::memcpy(trace_out, out.trace.data(),
+              out.trace.size() * sizeof(double));
+}
+
+// Single-knot FD derivatives (the oracle's internal knot_diff): for
+// cross-checking the JAX analytic derivatives at captured states.
+// Outputs: Fx (nx*nx), Fu (nx*7), Lx (nx), Lu (7), Lxx (nx*nx),
+// Lxu (nx*7), Luu (49), cost (1); nx = 14 (aug = 0) or 21 (aug = 1).
+void ffmpc_oracle_knot_diff(const double* weights, const double* ref_pv,
+                            const double* x_reg_ref, const double* tau_ref,
+                            const double* R_des, const double* y_ref,
+                            int aug, int surface, int terminal,
+                            const double* x, const double* u, double* Fx,
+                            double* Fu, double* Lx, double* Lu, double* Lxx,
+                            double* Lxu, double* Luu, double* cost) {
+  oracle::Weights W;
+  if (aug) {
+    oracle::unpack_weights_aug(weights, &W);
+    oracle::Refs refs{nullptr, x_reg_ref, tau_ref, R_des, y_ref, 0};
+    oracle::KnotDerivT<oracle::NY> D;
+    oracle::knot_diff_t<oracle::NY>(W, refs, surface != 0, terminal != 0,
+                                    ref_pv, x,
+                                    terminal != 0 ? nullptr : u, &D);
+    std::memcpy(Fx, D.Fx, sizeof(D.Fx));
+    std::memcpy(Fu, D.Fu, sizeof(D.Fu));
+    std::memcpy(Lx, D.Lx, sizeof(D.Lx));
+    std::memcpy(Lu, D.Lu, sizeof(D.Lu));
+    std::memcpy(Lxx, D.Lxx, sizeof(D.Lxx));
+    std::memcpy(Lxu, D.Lxu, sizeof(D.Lxu));
+    std::memcpy(Luu, D.Luu, sizeof(D.Luu));
+    *cost = D.cost;
+  } else {
+    oracle::unpack_weights(weights, &W);
+    oracle::Refs refs{nullptr, x_reg_ref, tau_ref, R_des, nullptr, 0};
+    oracle::KnotDerivT<oracle::NX> D;
+    oracle::knot_diff_t<oracle::NX>(W, refs, surface != 0, terminal != 0,
+                                    ref_pv, x,
+                                    terminal != 0 ? nullptr : u, &D);
+    std::memcpy(Fx, D.Fx, sizeof(D.Fx));
+    std::memcpy(Fu, D.Fu, sizeof(D.Fu));
+    std::memcpy(Lx, D.Lx, sizeof(D.Lx));
+    std::memcpy(Lu, D.Lu, sizeof(D.Lu));
+    std::memcpy(Lxx, D.Lxx, sizeof(D.Lxx));
+    std::memcpy(Lxu, D.Lxu, sizeof(D.Lxu));
+    std::memcpy(Luu, D.Luu, sizeof(D.Luu));
+    *cost = D.cost;
+  }
 }
 
 }  // extern "C"

@@ -1,0 +1,272 @@
+"""Iterate-level parity proof for the classical contact-phase divergences.
+
+Round-3 found 13/30 captured classical problems whose final torque
+trajectories diverge from the independent C++ BoxFDDP oracle (basin flips).
+This tool proves, per problem, WHERE the two solvers first part ways and
+WHY (VERDICT r3 item 3):
+
+  1. solve each captured problem with BOTH solvers recording a
+     per-iteration trace (cost, accepted step length, expected-improvement
+     model d1/dVexp, regularization) — the JAX solver via
+     solve(debug_history=True) in crocoddyl-semantics mode, the C++ oracle
+     via ffmpc_oracle_solve_traced;
+  2. locate the FIRST iteration whose traces disagree (cost_cur relative
+     difference, accepted flag, or accepted alpha);
+  3. classify the disagreement:
+       - "alpha_tie": both sides entered the iteration with the same cost
+         (same iterate) but accepted different step lengths, with the
+         losing side's Goldstein margin |dV - th*dVexp| within the
+         derivative-noise scale -> a line-search acceptance tie, not a
+         solver bug;
+       - "cost_drift": the iterates themselves had already drifted apart
+         (accumulated FD-vs-analytic epsilon through the nonlinear
+         rollouts) before any discrete decision flipped;
+       - "bw_mismatch": same iterate, same acceptance, but dg/dq disagree
+         beyond FD noise -> would indicate a real backward-pass bug;
+  4. at the shared iterate entering the first divergent iteration,
+     cross-check the knot derivatives three ways: JAX analytic vs
+     jax.jacfwd autodiff (machine-exact expected), and JAX analytic vs the
+     oracle's central finite differences (FD-epsilon expected).
+
+Usage:
+  python -m tools.parity_iterates [--controllers classical]
+      [--scenarios flat,...] [--out results_parity_iterates.json]
+
+Reference semantics target: crocoddyl SolverBoxFDDP
+(/root/reference/src/mpc/crocoddyl_classical.py:442-445).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+# trace comparison tolerances
+COST_RTOL = 1e-6          # iterates considered "same" below this
+DG_RTOL = 1e-4            # FD-vs-analytic scale on the model quantities
+
+
+def _traces(controller, problems, mpc, traj, cfg):
+    """Solve every problem both ways with per-iteration traces."""
+    import jax
+    import jax.numpy as jnp
+    from ffmpc_tpu.ocp.problem import build_problem_refs
+    from ffmpc_tpu.solver.fddp import solve, FDDPSettings
+    from ffmpc_tpu.utils.native import (
+        oracle_weights_flat, oracle_solve_traced, oracle_weights_flat_aug,
+        oracle_solve_aug_traced)
+
+    W = mpc._W
+    aug = controller == "force_feedback"
+    wf = (oracle_weights_flat_aug(W, mpc.model) if aug
+          else oracle_weights_flat(W, mpc.model))
+    st = FDDPSettings(max_iters=10, use_box=True, crocoddyl_semantics=True)
+    R_des = np.asarray(mpc.R_des, float)
+    N = cfg.horizon
+
+    solvers = {}
+
+    def jax_solve(surface, t, x0, xs, us, x_reg_ref, tau_ref, max_iters=10):
+        key = (surface, max_iters)
+        if key not in solvers:
+            knot = mpc._knots[surface]
+            sti = FDDPSettings(max_iters=max_iters, use_box=True,
+                               crocoddyl_semantics=True)
+
+            def fn(t_, x0_, xs_, us_, x_reg_, tau_ref_):
+                refs_run, ref_T = build_problem_refs(
+                    traj, t_, N, W.dt_ocp, x_reg_[:14], tau_ref_,
+                    jnp.asarray(R_des, jnp.float64),
+                    y_ref=(x0_ if aug else None), dtype=jnp.float64)
+                return solve(knot, refs_run, ref_T, x0_, xs_, us_, sti,
+                             debug_history=True)
+            solvers[key] = jax.jit(fn)
+        return solvers[key](
+            jnp.float64(t), jnp.asarray(x0), jnp.asarray(xs),
+            jnp.asarray(us), jnp.asarray(x_reg_ref), jnp.asarray(tau_ref))
+
+    out = []
+    for i, pb in enumerate(problems):
+        pv = np.zeros((N + 1, 6))
+        for k in range(N + 1):
+            p, vv, _ = traj.numpy(pb["t"] + k * W.dt_ocp)
+            pv[k, :3] = p
+            pv[k, 3:] = vv
+        surf = np.full(N, int(pb["surface"]), np.int32)
+        res, hist = jax_solve(pb["surface"], pb["t"], pb["x0"], pb["xs"],
+                              pb["us"], pb["x_reg_ref"], pb["tau_ref"])
+        hist = {k: np.asarray(v) for k, v in hist.items()}
+        if aug:
+            _, us_o, cost_o, it_o, tr = oracle_solve_aug_traced(
+                wf, pv, surf, pb["x_reg_ref"][:14], pb["tau_ref"],
+                R_des.ravel(), pb["x0"], pb["x0"], pb["xs"], pb["us"])
+        else:
+            _, us_o, cost_o, it_o, tr = oracle_solve_traced(
+                wf, pv, surf, pb["x_reg_ref"], pb["tau_ref"], R_des.ravel(),
+                pb["x0"], pb["xs"], pb["us"])
+        dtau = float(np.abs(us_o - np.asarray(res.us)).max())
+        out.append(dict(pb=pb, pv=pv, surf=surf, hist=hist, trace=tr,
+                        it_oracle=it_o, it_jax=int(res.iters), dtau=dtau,
+                        jax_solve=jax_solve))
+    return out, wf, aug
+
+
+def first_divergence(hist, tr, n_iters):
+    """Index of the first iteration whose traces disagree, or None."""
+    for k in range(n_iters):
+        cj, co = float(hist["cost_cur"][k]), float(tr["cost_cur"][k])
+        if abs(cj - co) > COST_RTOL * max(abs(cj), 1.0):
+            return k, "cost_drift"
+        aj, ao = bool(hist["accepted"][k]), bool(tr["accepted"][k])
+        alj, alo = float(hist["alpha"][k]), float(tr["alpha"][k])
+        if aj != ao or (aj and abs(alj - alo) > 1e-12):
+            # same entering iterate; which discrete decision flipped?
+            dgj, dgo = float(hist["dg"][k]), float(tr["dg"][k])
+            dqj, dqo = float(hist["dq"][k]), float(tr["dq"][k])
+            scale = max(abs(dgj), abs(dqj), 1.0)
+            if (abs(dgj - dgo) > DG_RTOL * scale
+                    or abs(dqj - dqo) > DG_RTOL * scale):
+                return k, "bw_mismatch"
+            return k, "alpha_tie"
+    return None, "match"
+
+
+def deriv_check(entry, wf, aug, mpc, traj, cfg, k_div):
+    """Cross-check knot derivatives at the shared iterate entering the
+    first divergent iteration: analytic-vs-AD (exact) and
+    analytic-vs-oracle-FD (FD epsilon)."""
+    import jax
+    import jax.numpy as jnp
+    from ffmpc_tpu.utils.native import oracle_knot_diff
+
+    pb, pv = entry["pb"], entry["pv"]
+    W = mpc._W
+    N = cfg.horizon
+    # reconstruct the shared iterate: re-run the JAX solver for k_div iters
+    if k_div > 0:
+        res_k, _ = entry["jax_solve"](
+            pb["surface"], pb["t"], pb["x0"], pb["xs"], pb["us"],
+            pb["x_reg_ref"], pb["tau_ref"], max_iters=k_div)
+        xs_k = np.asarray(res_k.xs)
+        us_k = np.asarray(res_k.us)
+    else:
+        xs_k, us_k = pb["xs"], pb["us"]
+
+    knot = mpc._knots[pb["surface"]]
+    from ffmpc_tpu.ocp.problem import build_problem_refs
+    refs_run, _ = build_problem_refs(
+        traj, pb["t"], N, W.dt_ocp, pb["x_reg_ref"][:14], pb["tau_ref"],
+        jnp.asarray(np.asarray(mpc.R_des, float), jnp.float64),
+        y_ref=(pb["x0"] if aug else None), dtype=jnp.float64)
+
+    # AD reference: jacfwd through knot.calc (dynamics rows) — GN cost
+    # blocks have no independent AD oracle here, so compare Fx/Fu (exact)
+    # and Lx/Lu gradients via jax.grad of the scalar cost.
+    def calc_x(ref, x, u):
+        return knot.calc(ref, x, u)[0]
+
+    def calc_c(ref, x, u):
+        return knot.calc(ref, x, u)[1]
+
+    jac_fx = jax.jit(jax.jacfwd(calc_x, argnums=1))
+    jac_fu = jax.jit(jax.jacfwd(calc_x, argnums=2))
+    grad_lx = jax.jit(jax.grad(calc_c, argnums=1))
+    grad_lu = jax.jit(jax.grad(calc_c, argnums=2))
+    vdiff = jax.jit(knot.diff)
+
+    max_ad = 0.0
+    max_fd = 0.0
+    knots_checked = [0, N // 2, N - 1]
+    for kk in knots_checked:
+        ref_k = jax.tree.map(lambda l: l[kk], refs_run)
+        x = jnp.asarray(xs_k[kk])
+        u = jnp.asarray(us_k[kk])
+        D = vdiff(ref_k, x, u)
+        # analytic vs AD
+        for got, ad in ((D.Fx, jac_fx(ref_k, x, u)),
+                        (D.Fu, jac_fu(ref_k, x, u)),
+                        (D.Lx, grad_lx(ref_k, x, u)),
+                        (D.Lu, grad_lu(ref_k, x, u))):
+            scale = max(float(jnp.abs(ad).max()), 1.0)
+            max_ad = max(max_ad,
+                         float(jnp.abs(got - ad).max()) / scale)
+        # analytic vs oracle FD
+        ref_pv = pv[kk]
+        Do = oracle_knot_diff(
+            wf, ref_pv, pb["x_reg_ref"][:14] if aug else pb["x_reg_ref"],
+            pb["tau_ref"], np.asarray(mpc.R_des, float).ravel(),
+            pb["surface"], False, np.asarray(x), np.asarray(u),
+            y_ref=(pb["x0"] if aug else None), aug=aug)
+        for name in ("Fx", "Fu", "Lx", "Lu"):
+            got = np.asarray(getattr(D, name))
+            fd = Do[name]
+            scale = max(float(np.abs(fd).max()), 1.0)
+            max_fd = max(max_fd, float(np.abs(got - fd).max()) / scale)
+    return max_ad, max_fd
+
+
+def main():
+    from tools.parity_scenarios import capture_problems
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--controllers", default="classical")
+    ap.add_argument("--scenarios",
+                    default="flat,tilted_5,tilted_10,tilted_15,"
+                            "actuation_uncertainty")
+    ap.add_argument("--out", default="results_parity_iterates.json")
+    args = ap.parse_args()
+
+    results = {}
+    for controller in args.controllers.split(","):
+        for scenario in args.scenarios.split(","):
+            key = f"{controller}/{scenario}"
+            print(f"== {key}", flush=True)
+            problems, mpc, traj, cfg = capture_problems(controller, scenario)
+            entries, wf, aug = _traces(controller, problems, mpc, traj, cfg)
+            rows = []
+            for i, e in enumerate(entries):
+                n_it = min(e["it_jax"], e["it_oracle"])
+                k_div, cause = first_divergence(e["hist"], e["trace"], n_it)
+                row = dict(idx=i, t=e["pb"]["t"],
+                           surface=bool(e["pb"]["surface"]),
+                           dtau_inf=e["dtau"],
+                           first_div_iter=k_div, cause=cause,
+                           iters_jax=e["it_jax"], iters_oracle=e["it_oracle"])
+                if k_div is not None:
+                    k = k_div
+                    row.update(
+                        alpha_jax=float(e["hist"]["alpha"][k]),
+                        alpha_oracle=float(e["trace"]["alpha"][k]),
+                        accepted_jax=bool(e["hist"]["accepted"][k]),
+                        accepted_oracle=bool(e["trace"]["accepted"][k]),
+                        cost_cur_jax=float(e["hist"]["cost_cur"][k]),
+                        cost_cur_oracle=float(e["trace"]["cost_cur"][k]),
+                        dVexp_jax=float(e["hist"]["dVexp"][k]),
+                        dVexp_oracle=float(e["trace"]["dVexp"][k]),
+                        dg_rel_diff=float(
+                            abs(e["hist"]["dg"][k] - e["trace"]["dg"][k])
+                            / max(abs(e["hist"]["dg"][k]), 1.0)))
+                    ad_err, fd_err = deriv_check(e, wf, aug, mpc, traj, cfg,
+                                                 k)
+                    row.update(deriv_err_vs_ad=ad_err,
+                               deriv_err_vs_oracle_fd=fd_err)
+                rows.append(row)
+                print(f"  #{i} t={row['t']:.3f} surf={int(row['surface'])} "
+                      f"dtau={row['dtau_inf']:.2e} div@{k_div} "
+                      f"cause={cause}"
+                      + (f" ad={row.get('deriv_err_vs_ad'):.1e}"
+                         f" fd={row.get('deriv_err_vs_oracle_fd'):.1e}"
+                         if k_div is not None else ""), flush=True)
+            results[key] = rows
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1, default=float)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

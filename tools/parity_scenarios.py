@@ -178,18 +178,18 @@ def compare(controller, problems, mpc, traj, cfg):
             dtau = float(np.abs(ys_o[:, 14:]
                                 - np.asarray(res.xs)[:, 14:]).max())
             du = float(np.abs(ws_o - np.asarray(res.us)).max())
-            # knot-0 deltas: the quantities the closed loop actually applies
-            # (tau-state at knot 0/1 and the first control)
-            dtau_k0 = float(np.abs(ws_o[0] - np.asarray(res.us)[0]).max())
+            # knot-0 delta on the first CONTROL (w in the FF family) — the
+            # quantity the closed loop consumes first
+            du_k0 = float(np.abs(ws_o[0] - np.asarray(res.us)[0]).max())
         else:
             xs_o, us_o, cost_o, _ = oracle_solve(
                 wf, pv, surf, pb["x_reg_ref"], pb["tau_ref"], R_des.ravel(),
                 pb["x0"], pb["xs"], pb["us"], max_iters=10, use_box=True)
             dtau = float(np.abs(us_o - np.asarray(res.us)).max())
             du = dtau
-            dtau_k0 = float(np.abs(us_o[0] - np.asarray(res.us)[0]).max())
+            du_k0 = float(np.abs(us_o[0] - np.asarray(res.us)[0]).max())
         rows.append(dict(idx=i, t=pb["t"], surface=pb["surface"],
-                         dtau_inf=dtau, du_inf=du, dtau_k0_inf=dtau_k0,
+                         dtau_inf=dtau, du_inf=du, du_k0_inf=du_k0,
                          cost_jax=float(res.cost), cost_oracle=cost_o))
     return rows
 

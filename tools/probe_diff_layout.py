@@ -33,13 +33,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, argsets, reps=5):
+    """Returns (avg_ms, reps) so callers can reconstruct total timed
+    seconds without hardcoding the rep count."""
     out = fn(*argsets[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(reps):
         out = fn(*argsets[i % len(argsets)])
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+    return (time.perf_counter() - t0) / reps * 1e3, reps
 
 
 def main(B=256, variants=None):
@@ -105,9 +107,10 @@ def main(B=256, variants=None):
                 r, ys, ws))
             f = functools.partial(f, refs_bn)
         t0 = time.perf_counter()
-        ms = timeit(f, argsets)
+        ms, reps = timeit(f, argsets)
         print(f"{name:16s} {ms:7.2f} ms   (compile+run1 "
-              f"{time.perf_counter() - t0 - ms * 5e-3:.0f}s)", flush=True)
+              f"{time.perf_counter() - t0 - ms * reps * 1e-3:.0f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":
