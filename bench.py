@@ -43,6 +43,9 @@ def main():
         # fused Pallas line-search rollout: 2.54 vs 6.84 ms/rollout at
         # B=256, cost agreement 2.8e-5 rel (tools/bench_rollout.py)
         rollout_mode=_os.environ.get("FFMPC_ROLLOUT_MODE", "pallas"),
+        # fused Pallas derivative pass (solver/diff_pallas.py): 6580 vs
+        # 3014 solves/s at B=256 (the r4 A/B, /tmp bench logs -> RESULTS.md)
+        diff_mode=_os.environ.get("FFMPC_DIFF_MODE", "pallas"),
         linesearch_mode=_os.environ.get("FFMPC_LS_MODE", "batched"))
     ep = EpisodeConfig(controller="force_feedback", horizon=40,
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
@@ -110,7 +113,8 @@ def main():
         from ffmpc_tpu.run.batch_runner import make_batched_solve_fn as _mk
         settings_lat = FDDPSettings(max_iters=10, use_box=True,
                                     backward_mode="pallas",
-                                    rollout_mode="pallas")
+                                    rollout_mode="pallas",
+                                    diff_mode="pallas")
         ep_lat = EpisodeConfig(controller="force_feedback", horizon=40,
                                ff_alpha_ocp=ep0.ff_alpha_ocp,
                                ff_alpha_ctrl=ep0.ff_alpha_ctrl,
@@ -141,7 +145,8 @@ def main():
         # does the converging across ticks) — the 200 Hz pipelining story.
         settings_rti = FDDPSettings(max_iters=1, use_box=True,
                                     backward_mode="pallas",
-                                    rollout_mode="pallas")
+                                    rollout_mode="pallas",
+                                    diff_mode="pallas")
         solve_rti = jax.jit(_mk(model, W, settings_rti, traj, ep_lat, q0,
                                 surface=True, dtype=dtype,
                                 calc_mode="scalar"))

@@ -24,7 +24,7 @@ discrete-level (never dt-scaled), as in the reference.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -66,6 +66,9 @@ class KnotModel(NamedTuple):
     diff:      (ref_k, x, u) -> KnotDeriv
     term_calc: (ref_T, x) -> cost
     term_diff: (ref_T, x) -> (cost, Lx, Lxx)
+    diff_all:  optional (refs_run, xs_run, us) -> KnotDeriv (leading N) —
+               the fused Pallas derivative pass (solver/diff_pallas.py),
+               engaged by FDDPSettings.diff_mode="pallas"
     """
     calc: Callable
     diff: Callable
@@ -75,6 +78,7 @@ class KnotModel(NamedTuple):
     nu: int
     u_lb: Tuple[float, ...]
     u_ub: Tuple[float, ...]
+    diff_all: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -516,8 +520,12 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
             return cost, Lx, Lxx
 
     lim = tuple(float(t) for t in W.tau_limits)
+    diff_all = None
+    if nc == 1:
+        from ..solver.diff_pallas import make_diff_all
+        diff_all = make_diff_all(model, W, surface, "classical", diff)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
-                     tuple(-t for t in lim), lim)
+                     tuple(-t for t in lim), lim, diff_all)
 
 
 def _value_and_jac(raw, ref, x, u):
@@ -711,5 +719,9 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             return cost, Lx, Lxx
 
     lim = tuple(float(t) for t in W.tau_limits)
+    diff_all = None
+    if nc == 1:
+        from ..solver.diff_pallas import make_diff_all
+        diff_all = make_diff_all(model, W, surface, "augmented", diff)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
-                     tuple(-t for t in lim), lim)
+                     tuple(-t for t in lim), lim, diff_all)

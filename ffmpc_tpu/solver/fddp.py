@@ -79,6 +79,12 @@ class FDDPSettings:
     # runs inside the kernel).  Requires calc_mode="scalar" knots and
     # linesearch_mode="batched"; engages under vmap like backward_mode.
     rollout_mode: str = "xla"
+    # "xla" or "pallas": the all-knot derivative pass as one fused Pallas
+    # kernel (solver/diff_pallas.py + ocp/channel_diff.py) — primal chain,
+    # vmap-of-jvp tangent sweeps and GN assembly in one launch over the
+    # flattened (B*N) lane axis.  Engages under vmap when the knot carries
+    # a diff_all (nc=1 families); single solves keep the per-knot vmap.
+    diff_mode: str = "xla"
     parallel_box_refinements: int = 1
     # "batched": all n_alphas rollouts in one vmapped pass (fixed cost);
     # "while": descending-alpha while_loop, stops at the first acceptance —
@@ -245,7 +251,12 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
     alphas = 0.5 ** jnp.arange(S.n_alphas, dtype=dtype)
 
     vcalc = jax.vmap(knot.calc)
-    vdiff = make_flat_vdiff(knot) if S.flat_diff else jax.vmap(knot.diff)
+    if S.diff_mode == "pallas" and knot.diff_all is not None:
+        vdiff = knot.diff_all
+    elif S.flat_diff:
+        vdiff = make_flat_vdiff(knot)
+    else:
+        vdiff = jax.vmap(knot.diff)
 
     def total_calc(xs, us):
         xnexts, costs = vcalc(refs_run, xs[:-1], us)

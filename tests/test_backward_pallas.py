@@ -42,6 +42,7 @@ def _rand_problem(rng, dtype=jnp.float64, tight_bounds=False):
 
 @pytest.mark.parametrize("tight", [False, True],
                          ids=["bounds_inactive", "bounds_active"])
+@pytest.mark.quick
 def test_pallas_backward_matches_sequential(tight):
     rng = np.random.default_rng(0 if tight else 1)
     probs = [_rand_problem(rng, tight_bounds=tight) for _ in range(B)]

@@ -19,6 +19,8 @@ from ffmpc_tpu.core import (
 )
 from ffmpc_tpu.sim.paths import SCENE_XML
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def mj():

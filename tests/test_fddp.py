@@ -87,6 +87,7 @@ def _solve_lqr(lqr_problem, use_box, u_lim=1e9, max_iters=20):
     return solve(knot, refs_run, ref_T, x0j, xs0, us0, st)
 
 
+@pytest.mark.quick
 def test_fddp_matches_analytic_lqr(lqr_problem):
     A, B, Q, R, QT, x0, N = lqr_problem
     xs_ref, us_ref = _lqr_analytic(A, B, Q, R, QT, x0, N)
@@ -97,6 +98,7 @@ def test_fddp_matches_analytic_lqr(lqr_problem):
     assert np.allclose(np.asarray(res.xs), xs_ref, atol=1e-6)
 
 
+@pytest.mark.quick
 def test_boxfddp_matches_analytic_lqr_inactive_bounds(lqr_problem):
     res = _solve_lqr(lqr_problem, use_box=True, u_lim=1e3)
     A, B, Q, R, QT, x0, N = lqr_problem
@@ -104,6 +106,7 @@ def test_boxfddp_matches_analytic_lqr_inactive_bounds(lqr_problem):
     assert np.allclose(np.asarray(res.us), us_ref, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_boxfddp_respects_bounds(lqr_problem):
     u_lim = 0.3
     res = _solve_lqr(lqr_problem, use_box=True, u_lim=u_lim, max_iters=40)

@@ -14,6 +14,8 @@ from ffmpc_tpu.utils.logging import RunLogger
 from ffmpc_tpu.sim.observation import Observation
 from ffmpc_tpu.mpc.config import ClassicalMPCConfig, ForceFeedbackMPCConfig
 
+pytestmark = pytest.mark.quick
+
 
 def _traj():
     return ApproachCircleTraj(center=(-0.5, 0.0, 0.342), radius=0.1, omega=1.5,

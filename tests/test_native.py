@@ -22,6 +22,7 @@ def panda():
     return make_panda_model("plant", dtype=jnp.float64)
 
 
+@pytest.mark.quick
 def test_native_matches_jax(panda):
     rng = np.random.default_rng(0)
     for _ in range(16):

@@ -12,6 +12,8 @@ from ffmpc_tpu.core import make_panda_model, KEYFRAMES
 from ffmpc_tpu.ocp.weights import OCPWeights, ProblemRefs
 from ffmpc_tpu.ocp.action import make_classical_knot, make_augmented_knot
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -60,6 +60,7 @@ def test_sharded_batched_solve(mesh8):
     assert len(us_sharded.sharding.device_set) == 8
 
 
+@pytest.mark.quick
 def test_cross_device_metric_reduction(mesh8):
     """Metric reduction over a sharded batch lowers to a collective."""
     bs = shard_batch(mesh8)

@@ -18,6 +18,7 @@ from ffmpc_tpu.ocp.problem import build_problem_refs
 from ffmpc_tpu.solver.fddp import solve, FDDPSettings
 from ffmpc_tpu.solver.rollout_pallas import make_fused_rollout
 from ffmpc_tpu.tasks.trajectories import ApproachCircleTraj
+import pytest
 
 NH, BN, NA = 4, 2, 6
 Z_C = 0.342
@@ -59,6 +60,7 @@ def _batch(rng, y0, tau_g, dtype=jnp.float64):
     return x0s, xss, uss, Ks, kffs, fss, feas
 
 
+@pytest.mark.quick
 def test_fused_rollout_matches_scan():
     knot, refs_run, ref_T, y0, tau_g = _setup()
     rng = np.random.default_rng(7)

@@ -89,6 +89,7 @@ DIFF_CASES = [
 ]
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("family,surface,overrides", DIFF_CASES)
 def test_scalar_diff_matches_analytic(family, surface, overrides):
     """deriv_mode="scalar" (jacfwd through the scalar chain) must agree with

@@ -7,6 +7,8 @@ import pytest
 
 from ffmpc_tpu.core.smallchol import chol_factor, chol_solve, spd_solve
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("n", [1, 3, 7, 14, 21])
 def test_factor_and_solve(n):

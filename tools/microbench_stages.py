@@ -65,6 +65,20 @@ def main(B=256, deriv="scalar"):
 
     t_calc = timeit(calc2, refs_bn, ys, ws)
     t_diff = timeit(diff2, refs_bn, ys, ws)
+    # fused Pallas diff kernel (solver/diff_pallas.py), engaged under vmap
+    t_diff_k = float("nan")
+    if knot.diff_all is not None:
+        diffk = jax.jit(jax.vmap(knot.diff_all))
+        try:
+            t_diff_k = timeit(diffk, refs_bn, ys, ws)
+            dk = diffk(refs_bn, ys, ws)
+            dx = diff2(refs_bn, ys, ws)
+            rel = max(float(jnp.max(jnp.abs(a - b)) /
+                            jnp.maximum(jnp.max(jnp.abs(a)), 1.0))
+                      for a, b in zip(dk, dx))
+            print(f"diff kernel vs XLA agreement: rel {rel:.2e}")
+        except Exception as e:  # noqa: BLE001 — report, keep the others
+            print(f"diff kernel FAILED: {type(e).__name__}: {e}")
 
     # rollout-shaped: sequential scan over N at line-search width B*n_alphas
     n_alphas = 10
@@ -121,6 +135,7 @@ def main(B=256, deriv="scalar"):
     print(f"B={B} N={N}")
     print(f"knot-calc (B*N):          {t_calc:8.2f} ms")
     print(f"knot-diff (B*N):          {t_diff:8.2f} ms")
+    print(f"knot-diff pallas (B*N):   {t_diff_k:8.2f} ms")
     print(f"rollout scan (B*{n_alphas} wide): {t_roll:8.2f} ms")
     print(f"backward boxqp sweep (B): {t_bwd:8.2f} ms")
 

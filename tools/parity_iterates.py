@@ -46,8 +46,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-# trace comparison tolerances
-COST_RTOL = 1e-6          # iterates considered "same" below this
+# trace comparison tolerances.  The oracle evaluates the same iterate with
+# central-FD derivatives; on the stiff contact stack that puts ~1e-6..1e-5
+# relative noise on per-iteration costs and ~1e-5 on dg/dq even when the
+# iterates are bitwise-identical decisions — the thresholds sit above that
+# noise floor and far below basin-flip scale (percent-level).
+COST_RTOL = 2e-5          # iterates considered "same" below this
 DG_RTOL = 1e-4            # FD-vs-analytic scale on the model quantities
 
 
@@ -117,23 +121,38 @@ def _traces(controller, problems, mpc, traj, cfg):
 
 
 def first_divergence(hist, tr, n_iters):
-    """Index of the first iteration whose traces disagree, or None."""
+    """Index of the first iteration whose traces disagree, or None.
+
+    Causes:
+      cost_drift    — the entering iterates themselves differ beyond FD
+                      noise (accumulated drift from an earlier near-tie);
+      alpha_tie     — same iterate, same backward model (dg/dq within FD
+                      noise), but a different step length got accepted —
+                      a Goldstein acceptance tie;
+      bw_divergence — same iterate but dg/dq disagree beyond FD noise
+                      (box-QP active-set or reg-retry flip; the caller's
+                      derivative cross-check refines this to
+                      bw_tie_fd_noise when the knot derivatives verify).
+    """
     for k in range(n_iters):
         cj, co = float(hist["cost_cur"][k]), float(tr["cost_cur"][k])
         if abs(cj - co) > COST_RTOL * max(abs(cj), 1.0):
             return k, "cost_drift"
         aj, ao = bool(hist["accepted"][k]), bool(tr["accepted"][k])
         alj, alo = float(hist["alpha"][k]), float(tr["alpha"][k])
+        dgj, dgo = float(hist["dg"][k]), float(tr["dg"][k])
+        dqj, dqo = float(hist["dq"][k]), float(tr["dq"][k])
+        scale = max(abs(dgj), abs(dqj), 1.0)
+        bw_differs = (abs(dgj - dgo) > DG_RTOL * scale
+                      or abs(dqj - dqo) > DG_RTOL * scale)
         if aj != ao or (aj and abs(alj - alo) > 1e-12):
-            # same entering iterate; which discrete decision flipped?
-            dgj, dgo = float(hist["dg"][k]), float(tr["dg"][k])
-            dqj, dqo = float(hist["dq"][k]), float(tr["dq"][k])
-            scale = max(abs(dgj), abs(dqj), 1.0)
-            if (abs(dgj - dgo) > DG_RTOL * scale
-                    or abs(dqj - dqo) > DG_RTOL * scale):
-                return k, "bw_mismatch"
-            return k, "alpha_tie"
+            return k, ("bw_divergence" if bw_differs else "alpha_tie")
+        if bw_differs:
+            return k, "bw_divergence"
     return None, "match"
+
+
+_DERIV_CACHE: dict = {}
 
 
 def deriv_check(entry, wf, aug, mpc, traj, cfg, k_div):
@@ -143,6 +162,8 @@ def deriv_check(entry, wf, aug, mpc, traj, cfg, k_div):
     import jax
     import jax.numpy as jnp
     from ffmpc_tpu.utils.native import oracle_knot_diff
+    from ffmpc_tpu.ocp.action import (make_classical_knot,
+                                      make_augmented_knot)
 
     pb, pv = entry["pb"], entry["pv"]
     W = mpc._W
@@ -157,27 +178,35 @@ def deriv_check(entry, wf, aug, mpc, traj, cfg, k_div):
     else:
         xs_k, us_k = pb["xs"], pb["us"]
 
-    knot = mpc._knots[pb["surface"]]
     from ffmpc_tpu.ocp.problem import build_problem_refs
     refs_run, _ = build_problem_refs(
         traj, pb["t"], N, W.dt_ocp, pb["x_reg_ref"][:14], pb["tau_ref"],
         jnp.asarray(np.asarray(mpc.R_des, float), jnp.float64),
         y_ref=(pb["x0"] if aug else None), dtype=jnp.float64)
 
-    # AD reference: jacfwd through knot.calc (dynamics rows) — GN cost
-    # blocks have no independent AD oracle here, so compare Fx/Fu (exact)
-    # and Lx/Lu gradients via jax.grad of the scalar cost.
-    def calc_x(ref, x, u):
-        return knot.calc(ref, x, u)[0]
+    # AD reference: jacfwd/grad through a VECTOR-calc knot (the
+    # controller's scalar-channel calc makes XLA:CPU compile of a jacfwd
+    # sweep pathological — a vector twin is numerically identical).  The
+    # jitted closures are cached across problems.
+    key = (aug, bool(pb["surface"]))
+    if key not in _DERIV_CACHE:
+        mk = make_augmented_knot if aug else make_classical_knot
+        knot_v = mk(mpc.model, W, surface=pb["surface"],
+                    deriv_mode="analytic", calc_mode="vector")
 
-    def calc_c(ref, x, u):
-        return knot.calc(ref, x, u)[1]
+        def calc_x(ref, x, u):
+            return knot_v.calc(ref, x, u)[0]
 
-    jac_fx = jax.jit(jax.jacfwd(calc_x, argnums=1))
-    jac_fu = jax.jit(jax.jacfwd(calc_x, argnums=2))
-    grad_lx = jax.jit(jax.grad(calc_c, argnums=1))
-    grad_lu = jax.jit(jax.grad(calc_c, argnums=2))
-    vdiff = jax.jit(knot.diff)
+        def calc_c(ref, x, u):
+            return knot_v.calc(ref, x, u)[1]
+
+        _DERIV_CACHE[key] = (
+            jax.jit(jax.jacfwd(calc_x, argnums=1)),
+            jax.jit(jax.jacfwd(calc_x, argnums=2)),
+            jax.jit(jax.grad(calc_c, argnums=1)),
+            jax.jit(jax.grad(calc_c, argnums=2)),
+            jax.jit(mpc._knots[pb["surface"]].diff))
+    jac_fx, jac_fu, grad_lx, grad_lu, vdiff = _DERIV_CACHE[key]
 
     max_ad = 0.0
     max_fd = 0.0
@@ -255,6 +284,13 @@ def main():
                                                  k)
                     row.update(deriv_err_vs_ad=ad_err,
                                deriv_err_vs_oracle_fd=fd_err)
+                    if (cause == "bw_divergence" and ad_err < 1e-10
+                            and fd_err < 1e-4):
+                        # knot derivatives verified three ways at the
+                        # shared iterate -> the backward difference is a
+                        # discrete flip (box-QP active set / reg retry)
+                        # seeded by FD-epsilon inputs, not a solver bug
+                        row["cause"] = cause = "bw_tie_fd_noise"
                 rows.append(row)
                 print(f"  #{i} t={row['t']:.3f} surf={int(row['surface'])} "
                       f"dtau={row['dtau_inf']:.2e} div@{k_div} "
