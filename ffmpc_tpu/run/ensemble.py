@@ -46,7 +46,15 @@ def run_ensemble(controller: str = "force_feedback", scenario: str = "flat",
     W = flagship_weights()
     traj = flagship_trajectory()
     table = make_table_params(settings_sc.tilt_deg, dtype=dtype)
-    solver = FDDPSettings(max_iters=max_iters, use_box=True)
+    # fused Pallas sweeps on TPU (the bench defaults; measured 6767
+    # open-loop solves/s at B=256).  On CPU (tests/virtual meshes) the
+    # kernels run interpret-mode and the scalar graphs compile
+    # pathologically — keep the XLA paths there.
+    from ..solver.fddp import resolve_platform_mode
+    kern = resolve_platform_mode("auto", scalar="pallas", vector="xla")
+    solver = FDDPSettings(max_iters=max_iters, use_box=True,
+                          backward_mode=kern, rollout_mode=kern,
+                          diff_mode=kern)
     ep = EpisodeConfig(
         controller=controller, horizon=horizon, n_ticks=ticks,
         ff_alpha_ocp=W.ff_alpha,

@@ -27,9 +27,10 @@ def setup():
 
 
 @pytest.mark.parametrize("family,surface", [
-    ("augmented", True), ("augmented", False),
-    ("classical", True), ("classical", False)])
-@pytest.mark.quick
+    pytest.param("augmented", True, marks=pytest.mark.quick),
+    ("augmented", False),
+    pytest.param("classical", True, marks=pytest.mark.quick),
+    ("classical", False)])
 def test_channel_diff_matches_analytic(setup, family, surface):
     model, W, traj, q0, tau_g, R_des = setup
     nx = 21 if family == "augmented" else 14

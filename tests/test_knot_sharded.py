@@ -31,7 +31,6 @@ def _rand_problem(N, nx, nu, seed=0, dtype=jnp.float64):
     return Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT
 
 
-@pytest.mark.quick
 @pytest.mark.parametrize("ndev", [4, 8])
 def test_knot_sharded_matches_single_device(ndev):
     if len(jax.devices("cpu")) < ndev:
@@ -147,7 +146,6 @@ def test_knot_sharded_flagship_f32():
     assert float(jnp.max(jnp.abs(K_sh64 - K64))) < 1e-7 * max(scale, 1.0)
 
 
-@pytest.mark.quick
 @pytest.mark.parametrize("ndev", [4, 8])
 def test_knot_sharded_box_matches_single(ndev):
     """Sharded BOX backward == single-device parallel_riccati_box (the

@@ -43,8 +43,9 @@ def _sequential(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_next, LxT, LxxT):
     return Ks, ks, Vxs, Vxxs
 
 
-@pytest.mark.quick
-@pytest.mark.parametrize("N,nx,nu,seed", [(8, 4, 2, 0), (24, 6, 3, 1), (40, 14, 7, 2)])
+@pytest.mark.parametrize("N,nx,nu,seed", [
+    pytest.param(8, 4, 2, 0, marks=pytest.mark.quick),
+    (24, 6, 3, 1), (40, 14, 7, 2)])
 def test_parallel_matches_sequential(N, nx, nu, seed):
     rng = np.random.default_rng(seed)
     Fx = np.eye(nx) + 0.05 * rng.normal(size=(N, nx, nx))

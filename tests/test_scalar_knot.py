@@ -89,8 +89,10 @@ DIFF_CASES = [
 ]
 
 
-@pytest.mark.quick
-@pytest.mark.parametrize("family,surface,overrides", DIFF_CASES)
+@pytest.mark.parametrize(
+    "family,surface,overrides",
+    [pytest.param(*c, marks=pytest.mark.quick) if i < 2 else c
+     for i, c in enumerate(DIFF_CASES)])
 def test_scalar_diff_matches_analytic(family, surface, overrides):
     """deriv_mode="scalar" (jacfwd through the scalar chain) must agree with
     the FD-verified analytic derivative path."""
