@@ -98,7 +98,15 @@ def test_solve_tau_parity(setup, phase, t0):
     test_solve_cost_parity_cold below, which pins that weaker property.
     """
     model, W, wf, R_des, traj = setup
-    N = 20
+    # Free phase runs at the benchmark classical horizon (N=36).  The
+    # contact case stays at N=20: at N=36 this particular warm-started
+    # problem sits ON a line-search/active-set tie (dtau flips between
+    # 1e-5 and 1.9 run-to-run with XLA:CPU thread-level reduction
+    # reordering) — exactly the knife-edge mechanism proven by
+    # tools/parity_iterates.py.  Benchmark-shape parity coverage comes
+    # from tools/parity_scenarios.py (N=36/40 real controller problems,
+    # all 5 scenarios) and the iterate-level study.
+    N = 36 if phase == "free" else 20
     surface = phase == "contact"
     q0 = np.asarray(KEYFRAMES["neutral"])
     rng = np.random.default_rng(7 if surface else 3)
