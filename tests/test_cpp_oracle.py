@@ -178,3 +178,42 @@ def test_solve_cost_parity_cold_contact(setup):
         x0, xs0, us0, max_iters=2, use_box=True)
     assert abs(cost_o - float(res.cost)) / max(abs(cost_o), 1.0) < 0.02, (
         cost_o, float(res.cost))
+
+
+@pytest.mark.quick
+def test_oracle_traced_matches_untraced(setup):
+    """ffmpc_oracle_solve_traced must be the SAME solver as
+    ffmpc_oracle_solve (identical xs/us/cost) and emit a coherent trace
+    (monotone accepted costs down to the final cost, populated rows for
+    every executed iteration)."""
+    from ffmpc_tpu.utils.native import oracle_solve_traced
+
+    model, W, wf, R_des, traj = setup
+    N, t0, surface = 20, 1.5, True
+    q0 = np.asarray(KEYFRAMES["neutral"])
+    rng = np.random.default_rng(7)
+    q = q0 + 0.05 * rng.normal(size=7)
+    v = 0.1 * rng.normal(size=7)
+    x0 = np.concatenate([q, v])
+    x_reg = np.concatenate([q0, np.zeros(7)])
+    tau_ref = np.asarray(gravity_torque(model, jnp.asarray(q0)))
+    xs0 = np.tile(x0, (N + 1, 1))
+    us0 = np.tile(tau_ref, (N, 1))
+    pv = _refs_arrays(traj, t0, N, W.dt_ocp)
+    args = (wf, pv, [surface] * N, x_reg, tau_ref,
+            np.asarray(R_des).ravel(), x0, xs0, us0)
+    xs_a, us_a, cost_a, it_a = oracle_solve(*args, max_iters=6)
+    xs_b, us_b, cost_b, it_b, tr = oracle_solve_traced(*args, max_iters=6)
+    assert it_a == it_b
+    assert abs(cost_a - cost_b) < 1e-12 * max(1.0, abs(cost_a))
+    assert np.abs(xs_a - xs_b).max() < 1e-12
+    assert np.abs(us_a - us_b).max() < 1e-12
+    # trace coherence: every executed row populated, costs finite, the
+    # final accepted cost_try equals the returned trajectory cost
+    assert np.all(np.isfinite(tr["cost_cur"][:it_b]))
+    acc = tr["accepted"][:it_b] > 0.5
+    assert acc.any()
+    last_acc = np.nonzero(acc)[0][-1]
+    if last_acc == it_b - 1:
+        assert abs(tr["cost_try"][last_acc] - cost_b) < 1e-9 * max(
+            1.0, abs(cost_b))
