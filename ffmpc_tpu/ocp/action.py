@@ -427,6 +427,41 @@ def _classical_analytic(model: PandaModel, W: OCPWeights, surface: bool,
     return xnext, res, Jx, Ju, Fx, Fu
 
 
+class _LazyDiffAll:
+    """Deferred construction of the fused Pallas derivative pass: knot
+    builds stay decoupled from the solver/pallas modules (and pay no
+    channel-diff closure construction) unless a solve actually engages
+    ``FDDPSettings.diff_mode="pallas"``."""
+
+    def __init__(self, builder: Callable):
+        self._builder = builder
+        self._fn = None
+
+    def __call__(self, *args):
+        if self._fn is None:
+            self._fn = self._builder()
+        return self._fn(*args)
+
+
+# central-difference step of the C++ oracle (native/ffmpc_oracle.cpp:626);
+# shared by deriv_mode="oracle_fd" so the FD-twin reproduces the oracle's
+# truncation error exactly, not just its formula.
+ORACLE_FD_STEP = 1e-5
+
+
+def _central_fd(f, z, h):
+    """Stacked central differences of pytree-valued ``f`` along each
+    coordinate of ``z``: returns the tree of Jacobians with the
+    differentiation axis LAST (so (nr,)-valued leaves become (nr, nz)
+    Jacobians, matching the analytic-path layout)."""
+    n = z.shape[0]
+    eye = jnp.eye(n, dtype=z.dtype)
+    fp = jax.vmap(lambda e: f(z + h * e))(eye)
+    fm = jax.vmap(lambda e: f(z - h * e))(eye)
+    return jax.tree.map(
+        lambda p, m: jnp.moveaxis((p - m) / (2.0 * h), 0, -1), fp, fm)
+
+
 def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
                         deriv_mode: str = "analytic",
                         calc_mode: str = "scalar") -> KnotModel:
@@ -484,6 +519,22 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
             return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
+    elif deriv_mode == "oracle_fd":
+        # FD-twin of the C++ oracle (native/ffmpc_oracle.cpp:609-695):
+        # central differences at the oracle's exact step over the
+        # (xnext, residual-stack) map, GN assembly at the unperturbed
+        # residuals.  Used by tools/parity_iterates.py --deriv fd to prove
+        # the classical contact-phase divergences vs the oracle are
+        # FD-truncation-noise ties, not solver-semantics gaps: with shared
+        # derivative noise the two solvers should walk iterate-identical.
+        def diff(ref, x, u):
+            h = ORACLE_FD_STEP
+            xnext, res = raw_run(ref, x, u)
+            Fx, Jx = _central_fd(lambda xx: raw_run(ref, xx, u), x, h)
+            Fu, Ju = _central_fd(lambda uu: raw_run(ref, x, uu), u, h)
+            cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+                spec, res, Jx, Ju, dt, False, nx, nu, x.dtype)
+            return KnotDeriv(xnext, cost, Fx, Fu, Lx, Lu, Lxx, Lxu, Luu)
     else:
         def diff(ref, x, u):
             (xnext, res), (jac_x, jac_u) = _value_and_jac(raw_run, ref, x, u)
@@ -508,6 +559,14 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
             cost, Lx, _, Lxx, _, _ = _assemble_gn(
                 spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
             return cost, Lx, Lxx
+    elif deriv_mode == "oracle_fd":
+        def term_diff(ref, x):
+            h = ORACLE_FD_STEP
+            _, res = raw_term(ref, x)
+            _, Jx = _central_fd(lambda xx: raw_term(ref, xx), x, h)
+            cost, Lx, _, Lxx, _, _ = _assemble_gn(
+                spec, res, Jx, None, 1.0, True, nx, nu, x.dtype)
+            return cost, Lx, Lxx
     else:
         def term_diff(ref, x):
             def f(xx):
@@ -522,8 +581,10 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
     lim = tuple(float(t) for t in W.tau_limits)
     diff_all = None
     if nc == 1:
-        from ..solver.diff_pallas import make_diff_all
-        diff_all = make_diff_all(model, W, surface, "classical", diff)
+        def _build_diff_all(diff=diff):
+            from ..solver.diff_pallas import make_diff_all
+            return make_diff_all(model, W, surface, "classical", diff)
+        diff_all = _LazyDiffAll(_build_diff_all)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
                      tuple(-t for t in lim), lim, diff_all)
 
@@ -680,6 +741,17 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
                 full_spec, res, Jy, Jw, dt, False, nx, nu, y.dtype)
             return KnotDeriv(ynext, cost, Fy, Fw, Lx, Lu, Lxx, Lxu, Luu)
+    elif deriv_mode == "oracle_fd":
+        # FD-twin of the oracle's augmented family (see the classical
+        # branch above; ffmpc_oracle.cpp knot_diff_t<NY>).
+        def diff(ref, y, w):
+            h = ORACLE_FD_STEP
+            ynext, res = raw(ref, y, w, False)
+            Fy, Jy = _central_fd(lambda yy: raw(ref, yy, w, False), y, h)
+            Fw, Jw = _central_fd(lambda ww: raw(ref, y, ww, False), w, h)
+            cost, Lx, Lu, Lxx, Lxu, Luu = _assemble_gn(
+                full_spec, res, Jy, Jw, dt, False, nx, nu, y.dtype)
+            return KnotDeriv(ynext, cost, Fy, Fw, Lx, Lu, Lxx, Lxu, Luu)
     else:
         def diff(ref, y, w):
             ynext, res = raw(ref, y, w, False)
@@ -705,6 +777,15 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             cost, Lx, _, Lxx, _, _ = _assemble_gn(
                 full_spec, res, Jy, None, dt, True, nx, nu, y.dtype)
             return cost, Lx, Lxx
+    elif deriv_mode == "oracle_fd":
+        def term_diff(ref, y):
+            h = ORACLE_FD_STEP
+            w0 = jnp.zeros(nu, y.dtype)
+            _, res = raw(ref, y, w0, True)
+            _, Jy = _central_fd(lambda yy: raw(ref, yy, w0, True), y, h)
+            cost, Lx, _, Lxx, _, _ = _assemble_gn(
+                full_spec, res, Jy, None, dt, True, nx, nu, y.dtype)
+            return cost, Lx, Lxx
     else:
         def term_diff(ref, y):
             w0 = jnp.zeros(nu, y.dtype)
@@ -721,7 +802,9 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
     lim = tuple(float(t) for t in W.tau_limits)
     diff_all = None
     if nc == 1:
-        from ..solver.diff_pallas import make_diff_all
-        diff_all = make_diff_all(model, W, surface, "augmented", diff)
+        def _build_diff_all(diff=diff):
+            from ..solver.diff_pallas import make_diff_all
+            return make_diff_all(model, W, surface, "augmented", diff)
+        diff_all = _LazyDiffAll(_build_diff_all)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
                      tuple(-t for t in lim), lim, diff_all)

@@ -215,11 +215,15 @@ def main(argv=None) -> int:
             static_argnames=("ureg", "boxqp_iters", "refinements"))(
             *gn, lb, ub, ureg=1e-6)
         # K_sh is knot-sharded across processes: compare the LOCAL shard
-        # (addressable devices only under multiprocess jax)
+        # (addressable devices only under multiprocess jax).  Shard
+        # iteration order is not guaranteed sorted by array index — order
+        # explicitly by each shard's knot-axis start offset.
+        local = sorted(K_sh.addressable_shards,
+                       key=lambda s: s.index[0].start or 0)
         K_sh_local = np.concatenate(
-            [np.asarray(s.data) for s in K_sh.addressable_shards], axis=0)
+            [np.asarray(s.data) for s in local], axis=0)
         n_local_knots = K_sh_local.shape[0]
-        klo = args.process_id * n_local_knots
+        klo = local[0].index[0].start or 0
         K_ref_np = np.asarray(K_ref)[klo:klo + n_local_knots]
         scale = float(np.abs(np.asarray(K_ref)).max())
         err = float(np.abs(K_sh_local - K_ref_np).max())

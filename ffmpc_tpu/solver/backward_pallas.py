@@ -582,18 +582,11 @@ def make_backward_box(nx: int, nu: int, boxqp_iters: int = 8,
             if not b:
                 a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
             bargs.append(a)
-        # interpret unless the computation targets a real TPU (mirror of
-        # fddp.resolve_platform_mode: the configured default device wins
-        # over the highest-priority backend — tests pin CPU under a
-        # TPU-registered process)
-        dev = jax.config.jax_default_device
-        if dev is None:
-            platform = jax.default_backend()
-        elif isinstance(dev, str):
-            platform = dev
-        else:
-            platform = dev.platform
-        interpret = platform != "tpu"
+        # interpret unless the computation targets a real TPU (the
+        # configured default device wins over the highest-priority
+        # backend — tests pin CPU under a TPU-registered process)
+        from .platform import resolve_interpret
+        interpret = resolve_interpret()
         out = _pallas_backward_batched(
             *bargs, boxqp_iters=boxqp_iters, kgain_reg=kgain_reg,
             interpret=interpret)

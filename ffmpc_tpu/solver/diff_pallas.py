@@ -42,15 +42,7 @@ def _pad8(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
-def _resolve_interpret():
-    dev = jax.config.jax_default_device
-    if dev is None:
-        platform = jax.default_backend()
-    elif isinstance(dev, str):
-        platform = dev
-    else:
-        platform = dev.platform
-    return platform != "tpu"
+from .platform import resolve_interpret as _resolve_interpret
 
 
 def _out_layout(nx: int, nu: int):

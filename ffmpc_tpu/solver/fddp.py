@@ -139,13 +139,8 @@ def resolve_platform_mode(mode: str, scalar: str = "scalar",
     if mode != "auto":
         return mode
     if platform is None:
-        dev = jax.config.jax_default_device
-        if dev is None:
-            platform = jax.default_backend()
-        elif isinstance(dev, str):
-            platform = dev
-        else:
-            platform = dev.platform
+        from .platform import default_platform
+        platform = default_platform()
     return scalar if platform == "tpu" else vector
 
 

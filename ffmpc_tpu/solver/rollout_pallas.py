@@ -44,15 +44,7 @@ def _leaf_sizes(tree):
     return leaves, treedef, shapes, sizes
 
 
-def _resolve_interpret():
-    dev = jax.config.jax_default_device
-    if dev is None:
-        platform = jax.default_backend()
-    elif isinstance(dev, str):
-        platform = dev
-    else:
-        platform = dev.platform
-    return platform != "tpu"
+from .platform import resolve_interpret as _resolve_interpret
 
 
 def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,

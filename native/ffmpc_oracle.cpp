@@ -1279,8 +1279,9 @@ void ffmpc_oracle_solve_aug(const double* weights, const double* pv,
 }
 
 // Traced variants: additionally write a per-iteration trace
-// (max_iters x 12 doubles: cost_cur, cost_try, accepted, alpha, dg, dq,
-// d1, xreg_used, gap_norm, stop, feasible, bw_retries; unused rows zero)
+// (max_iters x TRACE_FIELDS=13 doubles: cost_cur, cost_try, accepted,
+// alpha, dg, dq, d1, dVexp, xreg, gap_norm, stop, feasible, bw_retries;
+// unused rows zero)
 // and the actual iteration count — the iterate-level parity instrument
 // (VERDICT r3 item 3: first-divergence localization vs the JAX solver's
 // debug_history).
