@@ -54,8 +54,14 @@ def main():
                        # derivatives on TPU; "scalar_unroll" additionally
                        # unrolls the 7 one-hot tangent sweeps (full-lane)
                        deriv_mode=_os.environ.get("FFMPC_DERIV_MODE", "auto"))
-    solve = make_batched_solve_fn(model, W, settings, traj, ep, q0,
-                                  surface=True, dtype=dtype)
+    # packed-carry batched solve (solver/packed.py): bitwise-identical
+    # trajectories to vmap(fddp.solve) with the all-Pallas configuration
+    # (tools/verify_packed_tpu.py: 256/256 same iters, max|du|=0), ~1.3x
+    # faster by keeping every per-knot array in kernel layout across the
+    # iteration loop (no pack/unpack transposes between kernels)
+    solve = make_batched_solve_fn(
+        model, W, settings, traj, ep, q0, surface=True, dtype=dtype,
+        solve_impl=_os.environ.get("FFMPC_SOLVE_IMPL", "packed"))
     solve_j = jax.jit(solve)
 
     tau_g = np.asarray(gravity_torque(model, jnp.asarray(q0, dtype)))

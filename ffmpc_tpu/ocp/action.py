@@ -69,6 +69,9 @@ class KnotModel(NamedTuple):
     diff_all:  optional (refs_run, xs_run, us) -> KnotDeriv (leading N) —
                the fused Pallas derivative pass (solver/diff_pallas.py),
                engaged by FDDPSettings.diff_mode="pallas"
+    diff_packed: optional packed-layout fused diff pass
+               (solver/diff_pallas.py::make_diff_packed), consumed by the
+               packed-carry batched solve (solver/packed.py)
     """
     calc: Callable
     diff: Callable
@@ -79,6 +82,7 @@ class KnotModel(NamedTuple):
     u_lb: Tuple[float, ...]
     u_ub: Tuple[float, ...]
     diff_all: Optional[Callable] = None
+    diff_packed: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -579,14 +583,19 @@ def make_classical_knot(model: PandaModel, W: OCPWeights, surface: bool,
             return cost, Lx, Lxx
 
     lim = tuple(float(t) for t in W.tau_limits)
-    diff_all = None
-    if nc == 1:
+    diff_all = diff_packed = None
+    if True:  # channel diff covers nc=1 and nc=3 (point3d) families
         def _build_diff_all(diff=diff):
             from ..solver.diff_pallas import make_diff_all
             return make_diff_all(model, W, surface, "classical", diff)
+
+        def _build_diff_packed():
+            from ..solver.diff_pallas import make_diff_packed
+            return make_diff_packed(model, W, surface, "classical")
         diff_all = _LazyDiffAll(_build_diff_all)
+        diff_packed = _LazyDiffAll(_build_diff_packed)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
-                     tuple(-t for t in lim), lim, diff_all)
+                     tuple(-t for t in lim), lim, diff_all, diff_packed)
 
 
 def _value_and_jac(raw, ref, x, u):
@@ -800,11 +809,16 @@ def make_augmented_knot(model: PandaModel, W: OCPWeights, surface: bool,
             return cost, Lx, Lxx
 
     lim = tuple(float(t) for t in W.tau_limits)
-    diff_all = None
-    if nc == 1:
+    diff_all = diff_packed = None
+    if True:  # channel diff covers nc=1 and nc=3 (point3d) families
         def _build_diff_all(diff=diff):
             from ..solver.diff_pallas import make_diff_all
             return make_diff_all(model, W, surface, "augmented", diff)
+
+        def _build_diff_packed():
+            from ..solver.diff_pallas import make_diff_packed
+            return make_diff_packed(model, W, surface, "augmented")
         diff_all = _LazyDiffAll(_build_diff_all)
+        diff_packed = _LazyDiffAll(_build_diff_packed)
     return KnotModel(calc, diff, term_calc, term_diff, nx, nu,
-                     tuple(-t for t in lim), lim, diff_all)
+                     tuple(-t for t in lim), lim, diff_all, diff_packed)

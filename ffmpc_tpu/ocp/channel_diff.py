@@ -47,7 +47,7 @@ from ..core.scalarops import (chol, chol_solve, sadd, sdot, smul, sneg,
                               ssub, is_const)
 from . import activations as act
 from .scalar_knot import _act_value, _log3_s, _BIG
-from .action import _make_spec, _build_q_soft_barrier
+from .action import _make_spec, _build_q_soft_barrier, _friction_cone_A
 from .weights import OCPWeights
 
 
@@ -166,7 +166,6 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
     assert family in ("classical", "augmented")
     aug = family == "augmented"
     spec, nc = _make_spec(model, W, surface)
-    assert nc == 1 or not surface, "channel diff: point3d not yet supported"
     mc = chain_consts(model)
     dt = float(W.dt_ocp)
     kp, kd = float(W.contact_gains[0]), float(W.contact_gains[1])
@@ -205,7 +204,7 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
         L, inv = chol(M, 7)
         Minv_tau = chol_solve(L, inv, [ssub(u_inner[i], bias[i])
                                        for i in range(7)])
-        if surface:
+        if surface and nc == 1:
             z_target = ssub(p_ref[2], float(W.z_press))
             Jc = [f.jp[j][2] for j in range(7)]
             gap = ssub(f.ee_p[2], z_target)
@@ -217,6 +216,29 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
             force = smul(ssub(a_des, sdot(Jc, Minv_tau)), S_inv)
             acc = [sadd(Minv_tau[i], smul(force, Minv_Jt[i]))
                    for i in range(7)]
+        elif surface:
+            # ContactModel3D (point contact): 3x3 damped Schur complement
+            # in channel algebra (crocoddyl_classical.py:944-997); the
+            # contact anchor is p_ref with its z shifted by z_press
+            # (action._contact_ref_pos)
+            z_target = ssub(p_ref[2], float(W.z_press))
+            ref_c = [p_ref[0], p_ref[1], z_target]
+            Jc3 = [[f.jp[j][ax] for j in range(7)] for ax in range(3)]
+            gap3 = [ssub(f.ee_p[ax], ref_c[ax]) for ax in range(3)]
+            Minv_Jt3 = [chol_solve(L, inv, Jc3[ax]) for ax in range(3)]
+            S3 = [[sadd(sdot(Jc3[a], Minv_Jt3[b]),
+                        damping_c if a == b else 0.0) for b in range(3)]
+                  for a in range(3)]
+            LS, invS = chol(S3, 3)
+            a_des3 = [sadd(sneg(gamma[ax]), smul(-kp, gap3[ax]),
+                           smul(-kd, sdot(Jc3[ax], v))) for ax in range(3)]
+            force3 = chol_solve(
+                LS, invS, [ssub(a_des3[ax], sdot(Jc3[ax], Minv_tau))
+                           for ax in range(3)])
+            acc = [sadd(Minv_tau[i],
+                        *[smul(force3[ax], Minv_Jt3[ax][i])
+                          for ax in range(3)]) for i in range(7)]
+            force = None
         else:
             force = None
             acc = Minv_tau
@@ -245,7 +267,7 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
                              for j in range(3)] for i in range(3)])
             return ori2, lin2 + ang2
 
-        if surface:
+        if surface and nc == 1:
             def g_q(qq):
                 f2 = fk_chain(mc, qq)
                 tau_r, ee_acc = chain_rnea(mc, f2, qq, v, acc,
@@ -262,6 +284,27 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
                                            want_ee_acc=True)
                 h2 = sadd(ee_acc[2], smul(kd, sdot(Jc, vv)))
                 return tau_r, [h2]
+        elif surface:
+            def g_q(qq):
+                f2 = fk_chain(mc, qq)
+                tau_r, ee_acc = chain_rnea(mc, f2, qq, v, acc,
+                                           want_ee_acc=True)
+                Jc2 = [[f2.jp[j][ax] for j in range(7)] for ax in range(3)]
+                g1 = [sadd(tau_r[i],
+                           *[sneg(smul(Jc2[ax][i], force3[ax]))
+                             for ax in range(3)]) for i in range(7)]
+                h2 = [sadd(ee_acc[ax],
+                           smul(kp, ssub(f2.ee_p[ax], ref_c[ax])),
+                           smul(kd, sdot(Jc2[ax], v))) for ax in range(3)]
+                ori2, vel62 = kin_of(qq, f2)
+                return g1, h2, ori2, vel62
+
+            def g_v(vv):
+                tau_r, ee_acc = chain_rnea(mc, f, q, vv, acc,
+                                           want_ee_acc=True)
+                h2 = [sadd(ee_acc[ax], smul(kd, sdot(Jc3[ax], vv)))
+                      for ax in range(3)]
+                return tau_r, h2
         else:
             def g_q(qq):
                 f2 = fk_chain(mc, qq)
@@ -294,7 +337,7 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
                    for c in range(14)]          # cols: Minv_G1[c][i]
         eye7 = [[1.0 if i == j else 0.0 for j in range(7)] for i in range(7)]
         Minv_cols = [chol_solve(L, inv, eye7[j]) for j in range(7)]
-        if surface:
+        if surface and nc == 1:
             H2q = [tq[1][0][d] for d in range(7)]
             H2v = [tv[1][0][d] for d in range(7)]
             H2 = H2q + H2v                                   # (14,)
@@ -307,6 +350,29 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
                       for c in range(14)] for i in range(7)]
             da_du = [[sadd(Minv_cols[j][i], smul(df_du[j], Minv_Jt[i]))
                       for j in range(7)] for i in range(7)]
+        elif surface:
+            # rows H2 (3, 14); per-column 3x3 Schur solves
+            H2_3 = [[tq[1][ax][d] for d in range(7)]
+                    + [tv[1][ax][d] for d in range(7)] for ax in range(3)]
+            dfx_cols = [chol_solve(
+                LS, invS, [ssub(sdot(Jc3[ax], Minv_G1[c]), H2_3[ax][c])
+                           for ax in range(3)]) for c in range(14)]
+            df_dx3 = [[dfx_cols[c][ax] for c in range(14)]
+                      for ax in range(3)]                    # (3, 14)
+            dfu_cols = [chol_solve(LS, invS,
+                                   [Minv_Jt3[ax][j] for ax in range(3)])
+                        for j in range(7)]
+            df_du3 = [[sneg(dfu_cols[j][ax]) for j in range(7)]
+                      for ax in range(3)]                    # (3, 7)
+            da_dx = [[sadd(sneg(Minv_G1[c][i]),
+                           *[smul(df_dx3[ax][c], Minv_Jt3[ax][i])
+                             for ax in range(3)])
+                      for c in range(14)] for i in range(7)]
+            da_du = [[sadd(Minv_cols[j][i],
+                           *[smul(df_du3[ax][j], Minv_Jt3[ax][i])
+                             for ax in range(3)])
+                      for j in range(7)] for i in range(7)]
+            df_dx = df_du = None
         else:
             df_dx = df_du = None
             da_dx = [[sneg(Minv_G1[c][i]) for c in range(14)]
@@ -354,10 +420,19 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
                 res["plane_z"] = [ssub(f.ee_p[i], p_c[i]) for i in range(3)]
             if W.w_vz > 0.0:
                 res["vz_damp"] = vel6
+            if nc == 3 and W.w_friction_cone > 0.0:
+                A_cone = _friction_cone_A(W.mu)
+                res["friction_cone"] = [
+                    sadd(*[smul(float(A_cone[r][c]), force3[c])
+                           for c in range(3)]) for r in range(4)]
             if W.w_unilateral > 0.0:
-                res["unilateral"] = [force]
+                res["unilateral"] = ([force] if nc == 1 else list(force3))
             if W.w_fn > 0.0:
-                res["fn_track"] = [ssub(force, float(W.fn_des))]
+                if nc == 1:
+                    res["fn_track"] = [ssub(force, float(W.fn_des))]
+                else:
+                    res["fn_track"] = [force3[0], force3[1],
+                                       ssub(force3[2], float(W.fn_des))]
         for name in dropped:
             res.pop(name, None)
 
@@ -445,11 +520,34 @@ def make_channel_diff(model: PandaModel, W: OCPWeights, surface: bool,
         # force rows
         if surface and (W.w_unilateral > 0.0 or W.w_fn > 0.0):
             g_eff, h_eff, c = fold(["unilateral", "fn_track"])
-            if aug:
-                gn.add_group(list(range(21)), [df_dx + df_du], g_eff, h_eff)
+            if nc == 1:
+                Jf_x, Jf_u = [df_dx], [df_du]
             else:
-                gn.add_group(cols_x14, [df_dx], g_eff, h_eff,
-                             cols_u=list(range(7)), Ju=[df_du])
+                Jf_x, Jf_u = df_dx3, df_du3
+            if aug:
+                gn.add_group(list(range(21)),
+                             [jx + ju for jx, ju in zip(Jf_x, Jf_u)],
+                             g_eff, h_eff)
+            else:
+                gn.add_group(cols_x14, Jf_x, g_eff, h_eff,
+                             cols_u=list(range(7)), Ju=Jf_u)
+            cost = sadd(cost, c)
+        if surface and nc == 3 and "friction_cone" in res:
+            # cone rows A @ f: Jacobian = A @ df (A constant 4x3)
+            g_eff, h_eff, c = fold(["friction_cone"])
+            A_cone = _friction_cone_A(W.mu)
+
+            def a_rows(J):       # (3, cols) -> (4, cols)
+                return [[sadd(*[smul(float(A_cone[r][ax]), J[ax][col])
+                                for ax in range(3)])
+                         for col in range(len(J[0]))] for r in range(4)]
+            if aug:
+                gn.add_group(list(range(21)),
+                             a_rows([jx + ju for jx, ju in
+                                     zip(df_dx3, df_du3)]), g_eff, h_eff)
+            else:
+                gn.add_group(cols_x14, a_rows(df_dx3), g_eff, h_eff,
+                             cols_u=list(range(7)), Ju=a_rows(df_du3))
             cost = sadd(cost, c)
 
         if not aug:

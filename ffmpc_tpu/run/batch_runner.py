@@ -235,11 +235,18 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
 def make_batched_solve_fn(model: PandaModel, W: OCPWeights,
                           settings: FDDPSettings, traj, ep: EpisodeConfig,
                           q_nom, surface: bool = True, dtype=jnp.float32,
-                          calc_mode: str = "scalar"):
+                          calc_mode: str = "scalar",
+                          solve_impl: str = "vmap"):
     """Pure batched-solve benchmark kernel: B independent warm-started
     BoxFDDP solves of the full-horizon problem (the BASELINE.json
     solves/s metric).  ``calc_mode="vector"`` selects the latency-oriented
-    knot layout (better at small B; scalar channels win at batch widths)."""
+    knot layout (better at small B; scalar channels win at batch widths).
+
+    ``solve_impl="packed"`` runs the packed-carry batched solve
+    (solver/packed.py): same algorithm as vmap(fddp.solve) with the
+    all-Pallas configuration, but every per-knot array stays in the
+    kernels' channel-major layout across the iteration loop — no
+    pack/unpack transposes between kernels."""
     N = ep.horizon
     is_ff = ep.controller == "force_feedback"
     make_knot = make_augmented_knot if is_ff else make_classical_knot
@@ -250,11 +257,25 @@ def make_batched_solve_fn(model: PandaModel, W: OCPWeights,
     q_nom = jnp.asarray(q_nom, dtype)
     x_reg_nom = jnp.concatenate([q_nom, jnp.zeros(7, dtype)])
 
-    def one(t, x0, xs_w, us_w):
-        tau_ref = gravity_torque(model, x0[:7])
-        refs_run, ref_T = build_problem_refs(
+    def build_refs(t, tau_ref, x0):
+        return build_problem_refs(
             traj, t, N, W.dt_ocp, x_reg_nom, tau_ref, R_des,
             y_ref=(x0 if is_ff else None), dtype=dtype)
+
+    if solve_impl == "packed":
+        from ..solver.packed import solve_packed
+
+        def batched(ts, x0s, xs_w, us_w):
+            tau_refs = jax.vmap(lambda x: gravity_torque(model, x[:7]))(x0s)
+            refs_run, ref_T = jax.vmap(build_refs)(ts, tau_refs, x0s)
+            return solve_packed(knot, refs_run, ref_T, x0s, xs_w, us_w,
+                                settings)
+
+        return batched
+
+    def one(t, x0, xs_w, us_w):
+        tau_ref = gravity_torque(model, x0[:7])
+        refs_run, ref_T = build_refs(t, tau_ref, x0)
         return fddp_solve(knot, refs_run, ref_T, x0, xs_w, us_w, settings)
 
     return jax.vmap(one)

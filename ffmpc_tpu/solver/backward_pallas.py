@@ -234,12 +234,18 @@ def _offsets(nx, nu) -> _Off:
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
-                     scal_ref, scr, kstage, kffstage, vxxstage, wstage,
-                     u2stage, vsym, sems,
+def _backward_kernel(gn_hbm, dyn_hbm, term_ref, kout_hbm, kffout_hbm,
+                     wout_hbm, scal_ref, scr, kstage, kffstage, wfs_stage,
+                     wstage, u2stage, vsym, sems,
                      *, nx, nu, N, Bt, boxqp_iters, kgain_reg):
+    """Per-knot inputs arrive as TWO HBM streams sharing the _offsets scr
+    layout: ``gn_hbm`` (N, C_gn, Bp) carries the GN derivative block
+    (Fx..Luu — emitted directly by the packed diff kernel), ``dyn_hbm``
+    (N, sx+2su, Bp) the per-iteration fs/lb/ub rows."""
     off = _offsets(nx, nu)
     sx, su = _pad8(nx), _pad8(nu)
+    C_gn = off.fs
+    C_dyn = off.total - C_gn
     dtype = term_ref.dtype
     ib = pl.program_id(0)
     b0 = pl.multiple_of(ib * Bt, Bt)
@@ -263,7 +269,7 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     # copies whole blocks, padding sliced off outside the kernel)
     kstage[:, :] = jnp.zeros_like(kstage)
     kffstage[:, :] = jnp.zeros_like(kffstage)
-    vxxstage[:, :] = jnp.zeros_like(vxxstage)
+    wfs_stage[:, :] = jnp.zeros_like(wfs_stage)
     vsym[:, :] = jnp.zeros_like(vsym)
 
     def _pad_cols(M, n_to):
@@ -279,14 +285,18 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     # dynamic VMEM reads return garbage silently, hence the stride).
     # Vxx is symmetric, so "column k" reads are row-k reads.
     vsym[:, :] = _pad_cols(Vxx, sx).reshape(nx * sx, Bt)
-    vxxstage[0:nx * nx, :] = Vxx.reshape(nx * nx, Bt)
+    # expected-improvement weights w[t] = Vxx[t] @ fs_scaled[t] — the only
+    # consumer of Vxx outside this sweep (fddp accept_alpha's dv term), so
+    # the kernel emits w (nx rows/knot) instead of the full Vxx (nx^2)
+    wfsN = _mv(Vxx, fsN)
+    wfs_stage[0:nx, :] = wfsN
     cp = pltpu.make_async_copy(
-        vxxstage, vxxout_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[2])
+        wfs_stage, wout_hbm.at[N, :, pl.ds(b0, Bt)], sems.at[2])
     cp.start()
     cp.wait()
 
     dg0 = -jnp.sum(Vx * fsN, axis=0, keepdims=True)
-    dq0 = jnp.sum(fsN * _mv(Vxx, fsN), axis=0, keepdims=True)
+    dq0 = jnp.sum(fsN * wfsN, axis=0, keepdims=True)
 
     def _mm_vsym_scr(x_off, xstride):
         """Cp[i,j] = sum_k Vxx[i,k] X[k,j]; Vxx rows from vsym (symmetric),
@@ -311,10 +321,16 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
     def step(it, carry):
         Vx, dg, dq, qu2, bad = carry
         t = N - 1 - it
-        cin = pltpu.make_async_copy(
-            knots_hbm.at[t, :, pl.ds(b0, Bt)], scr, sems.at[0])
-        cin.start()
-        cin.wait()
+        cin1 = pltpu.make_async_copy(
+            gn_hbm.at[t, :, pl.ds(b0, Bt)], scr.at[pl.ds(0, C_gn)],
+            sems.at[0])
+        cin2 = pltpu.make_async_copy(
+            dyn_hbm.at[t, :, pl.ds(b0, Bt)], scr.at[pl.ds(C_gn, C_dyn)],
+            sems.at[4])
+        cin1.start()
+        cin2.start()
+        cin1.wait()
+        cin2.wait()
 
         Fx = scr[off.Fx:off.Fx + nx * sx, :].reshape(nx, sx, Bt)[:, :nx, :]
         Fu = scr[off.Fu:off.Fu + nx * su, :].reshape(nx, su, Bt)[:, :nu, :]
@@ -368,7 +384,7 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         Vfs = _mv(Vxx_new, fs_t)              # static: nx^2 ops only
         Vx_new = Vx_new + Vfs
         vsym[:, :] = _pad_cols(Vxx_new, sx).reshape(nx * sx, Bt)
-        vxxstage[0:nx * nx, :] = Vxx_new.reshape(nx * nx, Bt)
+        wfs_stage[0:nx, :] = Vfs
 
         dg = dg + jnp.sum(Qu * kff, axis=0, keepdims=True) - jnp.sum(
             Vx_new * fs_t, axis=0, keepdims=True)
@@ -383,7 +399,7 @@ def _backward_kernel(knots_hbm, term_ref, kout_hbm, kffout_hbm, vxxout_hbm,
         c2 = pltpu.make_async_copy(
             kffstage, kffout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[3])
         c3 = pltpu.make_async_copy(
-            vxxstage, vxxout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[2])
+            wfs_stage, wout_hbm.at[t, :, pl.ds(b0, Bt)], sems.at[2])
         c1.start()
         c2.start()
         c3.start()
@@ -408,7 +424,8 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
                              boxqp_iters, kgain_reg, interpret):
     """All inputs batch-leading: Fx (B,N,nx,nx) ... fs_scaled (B,N+1,nx),
     lb/ub (B,N,nu), xreg/ureg (B,).  Returns (K, kff, qu2, dg, dq, bad,
-    Vxx_all) batch-leading."""
+    w_all) batch-leading, with w_all[t] = Vxx[t] @ fs_scaled[t] — the
+    expected-improvement weights (the only downstream use of Vxx)."""
     B, N = Fx.shape[0], Fx.shape[1]
     nx, nu = Fx.shape[2], Fu.shape[3]
     dtype = Fx.dtype
@@ -440,36 +457,66 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
         ap = jnp.pad(a, ((0, 0), (0, 0), (0, sc - cols)))
         return jnp.moveaxis(pad(ap).reshape(Bp, N, sc), 0, -1)
 
-    knots = jnp.concatenate([
+    gn = jnp.concatenate([
         flat2s(Fx, nx, nx), flat2s(Fu, nx, nu), flat1s(Lx, nx),
         flat1s(Lu, nu), flat2s(Lxx, nx, nx), flat2s(Lxu, nx, nu),
-        flat2s(Luu, nu, nu), flat1s(fs_scaled[:, :N], nx), flat1s(lb, nu),
-        flat1s(ub, nu)], axis=1)
-    Cp = knots.shape[1]
-    assert Cp % 8 == 0 and Cp == _offsets(nx, nu).total, Cp
-
-    term = jnp.concatenate([
+        flat2s(Luu, nu, nu)], axis=1)
+    dyn = jnp.concatenate([
+        flat1s(fs_scaled[:, :N], nx), flat1s(lb, nu), flat1s(ub, nu)],
+        axis=1)
+    term = _pack_term(
         jnp.moveaxis(pad(LxT), 0, -1),
         jnp.moveaxis(pad(LxxT).reshape(Bp, nx * nx), 0, -1),
         jnp.moveaxis(pad(fs_scaled[:, N]), 0, -1),
         jnp.moveaxis(pad(xreg)[:, None], 0, -1),
-        jnp.moveaxis(pad(ureg)[:, None], 0, -1)], axis=0)
+        jnp.moveaxis(pad(ureg)[:, None], 0, -1))
+
+    K_f, kff_f, w_f, scal = _backward_core(
+        gn, dyn, term, nx=nx, nu=nu, N=N, Bt=Bt,
+        boxqp_iters=boxqp_iters, kgain_reg=kgain_reg, interpret=interpret)
+
+    K = jnp.moveaxis(K_f[:, :nu * nx], -1, 0)[:B].reshape(B, N, nu, nx)
+    kff = jnp.moveaxis(kff_f[:, :nu], -1, 0)[:B]
+    w_all = jnp.moveaxis(w_f[:, :nx], -1, 0)[:B]             # (B, N+1, nx)
+    dg, dq, qu2, badf = scal[0, :B], scal[1, :B], scal[2, :B], scal[3, :B]
+    return K, kff, qu2, dg, dq, badf > 0.5, w_all
+
+
+def _pack_term(LxT_p, LxxT_p, fsN_p, xreg_p, ureg_p):
+    """Terminal VMEM block from channel-major pieces (rows, Bp)."""
+    term = jnp.concatenate([LxT_p, LxxT_p, fsN_p, xreg_p, ureg_p], axis=0)
     if _pad8(term.shape[0]) != term.shape[0]:
         term = jnp.concatenate(
-            [term, jnp.zeros((_pad8(term.shape[0]) - term.shape[0], Bp),
-                             dtype)], axis=0)
+            [term, jnp.zeros((_pad8(term.shape[0]) - term.shape[0],
+                              term.shape[1]), term.dtype)], axis=0)
+    return term
+
+
+def _backward_core(gn, dyn, term, *, nx, nu, N, Bt, boxqp_iters, kgain_reg,
+                   interpret):
+    """Run the backward kernel on packed channel-major inputs; outputs stay
+    packed: K_f (N, pad8(nu*nx), Bp), kff_f (N, pad8(nu), Bp),
+    w_f (N+1, sx, Bp), scal (8, Bp).  The packed-carry solve
+    (solver/packed.py) calls this directly; _pallas_backward_batched wraps
+    it with the batch-leading pack/unpack for the custom_vmap path."""
+    dtype = gn.dtype
+    Bp = gn.shape[-1]
+    sx, su = _pad8(nx), _pad8(nu)
+    off = _offsets(nx, nu)
+    assert gn.shape[1] == off.fs and dyn.shape[1] == off.total - off.fs, (
+        gn.shape, dyn.shape)
     C2 = term.shape[0]
 
-    grid = (Bp // Bt,)
     kernel = functools.partial(
         _backward_kernel, nx=nx, nu=nu, N=N, Bt=Bt,
         boxqp_iters=boxqp_iters, kgain_reg=kgain_reg)
 
-    K_f, kff_f, vxx_f, scal = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(Bp // Bt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),         # knots stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # gn stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # dyn stays in HBM
             pl.BlockSpec((C2, Bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),     # terminal block
         ],
@@ -482,28 +529,21 @@ def _pallas_backward_batched(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled,
         out_shape=[
             jax.ShapeDtypeStruct((N, _pad8(nu * nx), Bp), dtype),
             jax.ShapeDtypeStruct((N, _pad8(nu), Bp), dtype),
-            jax.ShapeDtypeStruct((N + 1, _pad8(nx * nx), Bp), dtype),
+            jax.ShapeDtypeStruct((N + 1, sx, Bp), dtype),
             jax.ShapeDtypeStruct((8, Bp), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Cp, Bt), dtype),
+            pltpu.VMEM((off.total, Bt), dtype),
             pltpu.VMEM((_pad8(nu * nx), Bt), dtype),
             pltpu.VMEM((_pad8(nu), Bt), dtype),
-            pltpu.VMEM((_pad8(nx * nx), Bt), dtype),
+            pltpu.VMEM((sx, Bt), dtype),            # wfs_stage (w rows)
             pltpu.VMEM((nx * sx, Bt), dtype),       # wstage (strided W)
             pltpu.VMEM((nx * su, Bt), dtype),       # u2stage (strided U)
             pltpu.VMEM((nx * sx, Bt), dtype),       # vsym (strided Vxx)
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
-    )(knots, term)
-
-    K = jnp.moveaxis(K_f[:, :nu * nx], -1, 0)[:B].reshape(B, N, nu, nx)
-    kff = jnp.moveaxis(kff_f[:, :nu], -1, 0)[:B]
-    Vxx_all = jnp.moveaxis(vxx_f[:, :nx * nx], -1, 0)[:B].reshape(
-        B, N + 1, nx, nx)
-    dg, dq, qu2, badf = scal[0, :B], scal[1, :B], scal[2, :B], scal[3, :B]
-    return K, kff, qu2, dg, dq, badf > 0.5, Vxx_all
+    )(gn, dyn, term)
 
 
 # ---------------------------------------------------------------------------
@@ -539,20 +579,22 @@ def _backward_seq(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled, LxT, LxxT,
         Vx_new = Qx + K.T @ (Quuk - 2.0 * Qu)
         Vxx_new = Qxx - Qxu @ K
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T) + xreg * eye_x
-        Vx_new = Vx_new + Vxx_new @ fs_t
+        w_t = Vxx_new @ fs_t
+        Vx_new = Vx_new + w_t
         dg_t = Qu @ kff - Vx_new @ fs_t
-        dq_t = -kff @ Quuk + fs_t @ (Vxx_new @ fs_t)
+        dq_t = -kff @ Quuk + fs_t @ w_t
         return (Vx_new, Vxx_new), (K, kff, jnp.sum(Qu * Qu), dg_t, dq_t,
-                                   bad, Vxx_new)
+                                   bad, w_t)
 
     (_, _), outs = jax.lax.scan(
         step, (VxT, VxxT),
         (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled[:N], lb, ub), reverse=True)
-    K, kff, qu2, dg_t, dq_t, bad, Vxx_run = outs
+    K, kff, qu2, dg_t, dq_t, bad, w_run = outs
+    wT = VxxT @ fs_scaled[N]
     dg = jnp.sum(dg_t) - VxT @ fs_scaled[N]
-    dq = jnp.sum(dq_t) + fs_scaled[N] @ (VxxT @ fs_scaled[N])
-    Vxx_all = jnp.concatenate([Vxx_run, VxxT[None]], axis=0)
-    return (K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), Vxx_all)
+    dq = jnp.sum(dq_t) + fs_scaled[N] @ wT
+    w_all = jnp.concatenate([w_run, wT[None]], axis=0)
+    return (K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), w_all)
 
 
 @functools.cache
@@ -564,7 +606,9 @@ def make_backward_box(nx: int, nu: int, boxqp_iters: int = 8,
       fs_scaled (N+1,nx)  [gap rows pre-multiplied by the infeasibility
       weight], LxT (nx), LxxT (nx,nx), lb/ub (N,nu) [bounds relative to
       the current controls], xreg (), ureg ().
-    Returns (K, kff, qu2, dg, dq, bad, Vxx_all)."""
+    Returns (K, kff, qu2, dg, dq, bad, w_all) with
+    w_all[t] = Vxx[t] @ fs_scaled[t] (N+1, nx) — the gap-corrected
+    expected-improvement weights consumed by fddp.accept_alpha."""
 
     @jax.custom_batching.custom_vmap
     def backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs_scaled, LxT, LxxT,

@@ -156,6 +156,110 @@ def _pallas_diff_batched(refs_run, xs_run, us, *, diff_ch, nx, nu,
     return KnotDeriv(**kw)
 
 
+def _diff_kernel_packed(refs_ref, xs_ref, us_ref, gn_ref, aux_ref, *,
+                        diff_ch, nx, nu, Bt):
+    """Packed-layout variant: one (knot, lane-tile) grid step; the GN
+    output rows land directly in backward_pallas._offsets strided layout
+    (Fx..Luu), so the backward kernel consumes them with zero transposes.
+    aux rows: xnext (nx) + cost (1)."""
+    sx, su = _pad8(nx), _pad8(nu)
+    off = 0
+    ref_ch = {}
+    for name, size in _REF_SIZES:
+        rows = [refs_ref[0, off + i, :] for i in range(size)]
+        off += size
+        if name == "R_des":
+            ref_ch[name] = [rows[3 * r:3 * r + 3] for r in range(3)]
+        else:
+            ref_ch[name] = rows
+    x = [xs_ref[0, i, :] for i in range(nx)]
+    u = [us_ref[0, i, :] for i in range(nu)]
+
+    out = diff_ch(ref_ch, x, u)
+    zero = x[0] * 0.0
+
+    def cv(v):
+        return zero + v if is_const(v) else v
+
+    chans = []
+
+    def put_mat(M, ncols, stride):
+        for row in M:
+            chans.extend(cv(v) for v in row)
+            chans.extend([zero] * (stride - ncols))
+
+    def put_vec(vec, n, stride):
+        chans.extend(cv(v) for v in vec)
+        chans.extend([zero] * (stride - n))
+
+    put_mat(out["Fx"], nx, sx)
+    put_mat(out["Fu"], nu, su)
+    put_vec(out["Lx"], nx, sx)
+    put_vec(out["Lu"], nu, su)
+    put_mat(out["Lxx"], nx, sx)
+    put_mat(out["Lxu"], nu, su)
+    put_mat(out["Luu"], nu, su)
+    gn_ref[0, :, :] = jnp.stack(chans)
+
+    aux = [cv(v) for v in out["xnext"]] + [cv(out["cost"])]
+    aux += [zero] * (aux_ref.shape[1] - len(aux))
+    aux_ref[0, :, :] = jnp.stack(aux)
+
+
+def make_diff_packed(model, W, surface: bool, family: str):
+    """Packed-layout fused diff pass for the packed-carry batched solve
+    (solver/packed.py): channel-major in, channel-major out, batch on
+    lanes — no transposes at either kernel boundary.
+
+    fn(refs_p (N, CR, Bp), xs_run_p (N, sx, Bp), us_p (N, su, Bp),
+       interpret) ->
+      (gn_p (N, C_gn, Bp) in backward_pallas._offsets strided layout
+       [Fx..Luu], aux_p (N, pad8(nx+1), Bp) [xnext rows 0..nx-1, cost at
+       row nx]).
+    """
+    from ..ocp.channel_diff import make_channel_diff
+    from .backward_pallas import _offsets
+
+    nx = 21 if family == "augmented" else 14
+    nu = 7
+    sx, su = _pad8(nx), _pad8(nu)
+    diff_ch = make_channel_diff(model, W, surface, family)
+    C_gn = _offsets(nx, nu).fs
+    CA = _pad8(nx + 1)
+
+    def fn(refs_p, xs_run_p, us_p, interpret):
+        N, CR, Bp = refs_p.shape
+        dtype = xs_run_p.dtype
+        Bt = 128 if not interpret else Bp
+        kernel = functools.partial(_diff_kernel_packed, diff_ch=diff_ch,
+                                   nx=nx, nu=nu, Bt=Bt)
+        return pl.pallas_call(
+            kernel,
+            grid=(N, Bp // Bt),
+            in_specs=[
+                pl.BlockSpec((1, CR, Bt), lambda t, i: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sx, Bt), lambda t, i: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, su, Bt), lambda t, i: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, C_gn, Bt), lambda t, i: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CA, Bt), lambda t, i: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, C_gn, Bp), dtype),
+                jax.ShapeDtypeStruct((N, CA, Bp), dtype),
+            ],
+            interpret=interpret,
+        )(refs_p, xs_run_p, us_p)
+
+    return fn
+
+
 def make_diff_all(model, W, surface: bool, family: str, knot_diff):
     """custom_vmap'd all-knot derivative pass.
 

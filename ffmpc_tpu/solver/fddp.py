@@ -258,12 +258,15 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         cost = jnp.sum(costs) + knot.term_calc(ref_T, xs[-1])
         return xnexts, cost
 
-    # ---------------- backward pass (stores Vxx per knot for the
-    # gap-aware expected-improvement correction) ----------------
+    # ---------------- backward pass (emits the expected-improvement
+    # weights w[t] = gapw * Vxx[t] @ fs[t] — the only downstream use of
+    # Vxx, so the full (N+1, nx, nx) stack never leaves the sweep) --------
     def backward_store(derivs, LxT, LxxT, fs, us, xreg, ureg, feasible):
         eye_x = jnp.eye(nx, dtype=dtype)
+        gapw = jnp.where(feasible, 0.0, 1.0)
         VxxT = LxxT + xreg * eye_x
-        VxT = LxT + jnp.where(feasible, 0.0, 1.0) * (VxxT @ fs[-1])
+        wT = gapw * (VxxT @ fs[-1])
+        VxT = LxT + wT
 
         def step(carry, inp):
             Vx, Vxx = carry
@@ -291,21 +294,22 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             Vx_new = Qx + K.T @ (Quuk - 2.0 * Qu)
             Vxx_new = Qxx - Qxu @ K
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T) + xreg * eye_x
-            Vx_new = Vx_new + jnp.where(feasible, 0.0, 1.0) * (Vxx_new @ fs_t)
+            w_t = gapw * (Vxx_new @ fs_t)
+            Vx_new = Vx_new + w_t
 
-            dg_t = Qu @ kff - jnp.where(feasible, 0.0, 1.0) * (Vx_new @ fs_t)
-            dq_t = -kff @ Quuk + jnp.where(feasible, 0.0, 1.0) * (fs_t @ (Vxx_new @ fs_t))
-            out = (K, kff, jnp.sum(Qu * Qu), dg_t, dq_t, bad, Vxx_new)
+            dg_t = Qu @ kff - gapw * (Vx_new @ fs_t)
+            dq_t = -kff @ Quuk + gapw * (fs_t @ (Vxx_new @ fs_t))
+            out = (K, kff, jnp.sum(Qu * Qu), dg_t, dq_t, bad, w_t)
             return (Vx_new, Vxx_new), out
 
         (_, _), outs = jax.lax.scan(
             step, (VxT, VxxT), (derivs, fs[:-1], us), reverse=True,
             unroll=S.scan_unroll)
-        K, kff, qu2, dg_t, dq_t, bad, Vxx_run = outs
-        dg = jnp.sum(dg_t) - jnp.where(feasible, 0.0, 1.0) * (VxT @ fs[-1])
-        dq = jnp.sum(dq_t) + jnp.where(feasible, 0.0, 1.0) * (fs[-1] @ (VxxT @ fs[-1]))
-        Vxx_all = jnp.concatenate([Vxx_run, VxxT[None]], axis=0)  # (N+1, nx, nx)
-        return K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), Vxx_all
+        K, kff, qu2, dg_t, dq_t, bad, w_run = outs
+        dg = jnp.sum(dg_t) - gapw * (VxT @ fs[-1])
+        dq = jnp.sum(dq_t) + gapw * (fs[-1] @ (VxxT @ fs[-1]))
+        w_all = jnp.concatenate([w_run, wT[None]], axis=0)  # (N+1, nx)
+        return K, kff, jnp.sum(qu2), dg, dq, jnp.any(bad), w_all
 
     def backward_parallel(derivs, LxT, LxxT, fs, us, xreg, ureg, feasible):
         """O(log N)-depth backward via the associative-scan Riccati
@@ -331,7 +335,8 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             Quu = derivs.Luu + ureg * jnp.eye(nu, dtype=dtype)[None] + jnp.einsum(
                 "tiu,tij,tjv->tuv", derivs.Fu, Vxx[1:], derivs.Fu)
         # deflected value gradients (sequential-path convention)
-        Vx_d = Vx + gapw * jnp.einsum("tij,tj->ti", Vxx, fs)
+        w_all = gapw * jnp.einsum("tij,tj->ti", Vxx, fs)      # (N+1, nx)
+        Vx_d = Vx + w_all
         Quuk = jnp.einsum("tuv,tv->tu", Quu, kff)
         dg = jnp.sum(jnp.einsum("tu,tu->t", Qu, kff)) - jnp.sum(
             gapw * jnp.einsum("ti,ti->t", Vx_d, fs))
@@ -339,7 +344,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             gapw * jnp.einsum("ti,tij,tj->t", fs, Vxx, fs))
         stop = jnp.sum(Qu * Qu)
         bad = jnp.any(~jnp.isfinite(K)) | jnp.any(~jnp.isfinite(kff))
-        return K, kff, stop, dg, dq, bad, Vxx
+        return K, kff, stop, dg, dq, bad, w_all
 
     # ---------------- forward pass (feasibility-prone rollout) ----------------
     def forward(xs, us, K, kff, fs, alpha, feasible):
@@ -404,7 +409,7 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
             return bw((xreg, ureg)), (xreg, ureg)
 
         st0 = (bw((c.xreg, c.ureg)), (c.xreg, c.ureg))
-        (K, kff, stop, dg, dq, bw_bad, Vxx_all), (xreg, ureg) = jax.lax.while_loop(
+        (K, kff, stop, dg, dq, bw_bad, w_all), (xreg, ureg) = jax.lax.while_loop(
             bw_cond, bw_body, st0)
 
         # Line search: ALL step lengths roll out in one batched scan (vmap
@@ -415,10 +420,11 @@ def solve(knot: KnotModel, refs_run, ref_T, x0, xs_init, us_init,
         # batch of problems.
         def accept_alpha(alpha, xs_try, us_try, cost_try):
             dV = cost_cur - cost_try
-            # gap-aware expected improvement (crocoddyl FDDP::expectedImprovement)
+            # gap-aware expected improvement (crocoddyl
+            # FDDP::expectedImprovement); the gap weight and Vxx are folded
+            # into w_all = gapw * Vxx @ fs by the backward pass
             dx_all = c.xs - xs_try
-            dv = -jnp.where(feasible, 0.0, 1.0) * jnp.sum(
-                fs * jnp.einsum("tij,tj->ti", Vxx_all, dx_all))
+            dv = -jnp.sum(w_all * dx_all)
             d1 = dg + dv
             d2 = dq - 2.0 * dv
             dVexp = alpha * (d1 + 0.5 * alpha * d2)

@@ -47,12 +47,26 @@ def _leaf_sizes(tree):
 from .platform import resolve_interpret as _resolve_interpret
 
 
-def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
-                    scr, xstage, ustage, sems, *,
+def _plan_offsets(nx, nu):
+    """Row offsets of the plan stream (N, C_plan, Bp): x_nom, u_nom, K,
+    kff, fs_next — all 8-aligned so the K region can be DMA'd/read
+    directly from the backward kernel's packed output."""
+    sx, su, pK = _pad8(nx), _pad8(nu), _pad8(nu * nx)
+    o_xs = 0
+    o_us = sx
+    o_K = sx + su
+    o_kff = o_K + pK
+    o_fs = o_kff + su
+    return o_xs, o_us, o_K, o_kff, o_fs, o_fs + sx
+
+
+def _rollout_kernel(refs_hbm, plan_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
+                    scr_r, scr_p, xstage, ustage, sems, *,
                     calc, term_calc, ref_treedef, ref_shapes, ref_sizes,
                     refT_treedef, refT_shapes, refT_sizes,
                     nx, nu, N, A, Bt, alphas, u_lb, u_ub, use_box):
     dtype = glob_ref.dtype
+    o_xs, o_us, o_K, o_kff, o_fs, _ = _plan_offsets(nx, nu)
     ib = pl.program_id(0)
     b0 = pl.multiple_of(ib * Bt, Bt)
 
@@ -79,34 +93,31 @@ def _rollout_kernel(knots_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
     xstage[:, :] = jnp.zeros_like(xstage)
     ustage[:, :] = jnp.zeros_like(ustage)
 
-    n_ref = len(ref_sizes)
-    ref_total = sum(ref_sizes)
-
-    def unpack_knot(scr_arr):
+    def unpack_knot(ref_arr, plan_arr):
         o = 0
         leaves = []
         for shp, size in zip(ref_shapes, ref_sizes):
-            leaves.append(scr_arr[o:o + size, :].reshape(shp + (Bt,)))
+            leaves.append(ref_arr[o:o + size, :].reshape(shp + (Bt,)))
             o += size
         ref = jax.tree.unflatten(ref_treedef, leaves)
-        x_nom = scr_arr[o:o + nx, :]
-        o += nx
-        u_nom = scr_arr[o:o + nu, :]
-        o += nu
-        K = scr_arr[o:o + nu * nx, :].reshape(nu, nx, Bt)
-        o += nu * nx
-        kff = scr_arr[o:o + nu, :]
-        o += nu
-        fs_next = scr_arr[o:o + nx, :]
+        x_nom = plan_arr[o_xs:o_xs + nx, :]
+        u_nom = plan_arr[o_us:o_us + nu, :]
+        K = plan_arr[o_K:o_K + nu * nx, :].reshape(nu, nx, Bt)
+        kff = plan_arr[o_kff:o_kff + nu, :]
+        fs_next = plan_arr[o_fs:o_fs + nx, :]
         return ref, x_nom, u_nom, K, kff, fs_next
 
     def step(t, carry):
         x, cost_acc = carry
-        cin = pltpu.make_async_copy(
-            knots_hbm.at[t, :, pl.ds(b0, Bt)], scr, sems.at[0])
-        cin.start()
-        cin.wait()
-        ref, x_nom, u_nom, K, kff, fs_next = unpack_knot(scr[:])
+        cr = pltpu.make_async_copy(
+            refs_hbm.at[t, :, pl.ds(b0, Bt)], scr_r, sems.at[0])
+        cp = pltpu.make_async_copy(
+            plan_hbm.at[t, :, pl.ds(b0, Bt)], scr_p, sems.at[3])
+        cr.start()
+        cp.start()
+        cr.wait()
+        cp.wait()
+        ref, x_nom, u_nom, K, kff, fs_next = unpack_knot(scr_r[:], scr_p[:])
 
         # stash the pre-step state: xs_try[t] = x
         xstage[0:nx * A, :] = x.reshape(nx * A, Bt)
@@ -174,21 +185,27 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
         reps = jnp.broadcast_to(a[-1:], (Bp - a.shape[0],) + a.shape[1:])
         return jnp.concatenate([a, reps], axis=0)
 
-    def flat2(a, n):     # (B, N, ...) -> (N, n, Bp)
-        return jnp.moveaxis(pad(a).reshape(Bp, N, n), 0, -1)
+    def flat2s(a, n):    # (B, N, ...) -> (N, pad8(n), Bp)
+        p = jnp.moveaxis(pad(a).reshape(Bp, N, n), 0, -1)
+        if _pad8(n) != n:
+            p = jnp.concatenate(
+                [p, jnp.zeros((N, _pad8(n) - n, Bp), dtype)], axis=1)
+        return p
 
     ref_leaves, ref_treedef, ref_shapes_bn, ref_sizes = _leaf_sizes(refs_run)
     # leaf shapes minus the (B, N) leading dims
     ref_shapes = [s[2:] for s in ref_shapes_bn]
     ref_sizes = [int(np.prod(s)) if s else 1 for s in ref_shapes]
-    packed = [flat2(l, sz) for l, sz in zip(ref_leaves, ref_sizes)]
-    knots = jnp.concatenate(
-        packed + [flat2(xs[:, :N], nx), flat2(us, nu), flat2(K, nu * nx),
-                  flat2(kff, nu), flat2(fs[:, 1:], nx)], axis=1)
-    if _pad8(knots.shape[1]) != knots.shape[1]:
-        knots = jnp.concatenate(
-            [knots, jnp.zeros((N, _pad8(knots.shape[1]) - knots.shape[1],
-                               Bp), dtype)], axis=1)
+    packed = [jnp.moveaxis(pad(l).reshape(Bp, N, sz), 0, -1)
+              for l, sz in zip(ref_leaves, ref_sizes)]
+    refs_p = jnp.concatenate(packed, axis=1)
+    if _pad8(refs_p.shape[1]) != refs_p.shape[1]:
+        refs_p = jnp.concatenate(
+            [refs_p, jnp.zeros((N, _pad8(refs_p.shape[1]) - refs_p.shape[1],
+                                Bp), dtype)], axis=1)
+    plan = jnp.concatenate(
+        [flat2s(xs[:, :N], nx), flat2s(us, nu), flat2s(K, nu * nx),
+         flat2s(kff, nu), flat2s(fs[:, 1:], nx)], axis=1)
 
     refT_leaves, refT_treedef, refT_shapes_b, refT_sizes = _leaf_sizes(ref_T)
     refT_shapes = [s[1:] for s in refT_shapes_b]
@@ -197,14 +214,53 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
     def gflat(a, n):     # (B, ...) -> (n, Bp)
         return jnp.moveaxis(pad(a).reshape(Bp, n), 0, -1)
 
-    glob = jnp.concatenate(
-        [gflat(x0, nx), gflat(feasible.astype(dtype)[:, None], 1)]
-        + [gflat(l, sz) for l, sz in zip(refT_leaves, refT_sizes)], axis=0)
+    glob = _pack_glob(
+        gflat(x0, nx), gflat(feasible.astype(dtype)[:, None], 1),
+        [gflat(l, sz) for l, sz in zip(refT_leaves, refT_sizes)])
+
+    ref_meta = (ref_treedef, ref_shapes, ref_sizes,
+                refT_treedef, refT_shapes, refT_sizes)
+    xs_f, us_f, costs = _rollout_core(
+        refs_p, plan, glob, calc=calc, term_calc=term_calc,
+        ref_meta=ref_meta, nx=nx, nu=nu, N=N, A=A, Bt=Bt,
+        u_lb=u_lb, u_ub=u_ub, use_box=use_box, interpret=interpret)
+
+    # (N+1, nx*A, Bp) -> (B, A, N+1, nx)
+    xs_tries = jnp.moveaxis(xs_f[:, :nx * A], -1, 0)[:B].reshape(
+        B, N + 1, nx, A)
+    xs_tries = jnp.moveaxis(xs_tries, 3, 1)
+    us_tries = jnp.moveaxis(us_f[:, :nu * A], -1, 0)[:B].reshape(
+        B, N, nu, A)
+    us_tries = jnp.moveaxis(us_tries, 3, 1)
+    cost_tries = jnp.moveaxis(costs[:A], -1, 0)[:B]          # (B, A)
+    return xs_tries, us_tries, cost_tries
+
+
+def _pack_glob(x0_p, feas_p, refT_rows):
+    """Global VMEM block from channel-major pieces (rows, Bp)."""
+    glob = jnp.concatenate([x0_p, feas_p] + refT_rows, axis=0)
     if _pad8(glob.shape[0]) != glob.shape[0]:
         glob = jnp.concatenate(
-            [glob, jnp.zeros((_pad8(glob.shape[0]) - glob.shape[0], Bp),
-                             dtype)], axis=0)
+            [glob, jnp.zeros((_pad8(glob.shape[0]) - glob.shape[0],
+                              glob.shape[1]), glob.dtype)], axis=0)
+    return glob
+
+
+def _rollout_core(refs_p, plan, glob, *, calc, term_calc, ref_meta,
+                  nx, nu, N, A, Bt, u_lb, u_ub, use_box, interpret):
+    """Run the line-search rollout kernel on packed channel-major inputs;
+    outputs stay packed: xs_f (N+1, pad8(nx*A), Bp), us_f (N, pad8(nu*A),
+    Bp), costs (pad8(A), Bp).  The packed-carry solve (solver/packed.py)
+    calls this directly with a loop-invariant refs_p."""
+    (ref_treedef, ref_shapes, ref_sizes,
+     refT_treedef, refT_shapes, refT_sizes) = ref_meta
+    dtype = plan.dtype
+    Bp = plan.shape[-1]
+    alphas = tuple(float(a) for a in 0.5 ** np.arange(A))
     CG = glob.shape[0]
+    CR = refs_p.shape[1]
+    CPl = plan.shape[1]
+    assert CPl == _plan_offsets(nx, nu)[-1], (CPl, _plan_offsets(nx, nu))
 
     kernel = functools.partial(
         _rollout_kernel, calc=calc, term_calc=term_calc,
@@ -213,11 +269,11 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
         refT_sizes=refT_sizes, nx=nx, nu=nu, N=N, A=A, Bt=Bt,
         alphas=alphas, u_lb=u_lb, u_ub=u_ub, use_box=use_box)
 
-    C = knots.shape[1]
-    xs_f, us_f, costs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(Bp // Bt,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((CG, Bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -234,23 +290,14 @@ def _pallas_rollout_batched(x0, xs, us, K, kff, fs, feasible, refs_run,
             jax.ShapeDtypeStruct((_pad8(A), Bp), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((C, Bt), dtype),
+            pltpu.VMEM((CR, Bt), dtype),
+            pltpu.VMEM((CPl, Bt), dtype),
             pltpu.VMEM((_pad8(nx * A), Bt), dtype),
             pltpu.VMEM((_pad8(nu * A), Bt), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(knots, glob)
-
-    # (N+1, nx*A, Bp) -> (B, A, N+1, nx)
-    xs_tries = jnp.moveaxis(xs_f[:, :nx * A], -1, 0)[:B].reshape(
-        B, N + 1, nx, A)
-    xs_tries = jnp.moveaxis(xs_tries, 3, 1)
-    us_tries = jnp.moveaxis(us_f[:, :nu * A], -1, 0)[:B].reshape(
-        B, N, nu, A)
-    us_tries = jnp.moveaxis(us_tries, 3, 1)
-    cost_tries = jnp.moveaxis(costs[:A], -1, 0)[:B]          # (B, A)
-    return xs_tries, us_tries, cost_tries
+    )(refs_p, plan, glob)
 
 
 def make_fused_rollout(knot, n_alphas: int, use_box: bool):

@@ -54,7 +54,7 @@ def test_pallas_backward_matches_sequential(tight):
     for b in range(B):
         ref = _backward_seq(*probs[b], boxqp_iters=8, kgain_reg=1e-12)
         for i, name in enumerate(("K", "kff", "qu2", "dg", "dq", "bad",
-                                  "Vxx_all")):
+                                  "w_all")):
             got = np.asarray(out_b[i][b])
             want = np.asarray(ref[i])
             if name == "bad":

@@ -84,7 +84,7 @@ def test_cold_bang_bang_backward_finite(flagship):
     bw = jax.jit(lambda *a: _backward_seq(*a, boxqp_iters=8,
                                           kgain_reg=1e-12))
     for reg in (1e-9, 1e-5, 1e-1):
-        K, kff, qu2, dg, dq, bad, Vxx_all = bw(
+        K, kff, qu2, dg, dq, bad, w_all = bw(
             derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu, derivs.Lxx,
             derivs.Lxu, derivs.Luu, fs, LxT, LxxT, lb, ub,
             jnp.asarray(reg, DTYPE), jnp.asarray(reg, DTYPE))

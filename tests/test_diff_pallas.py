@@ -101,3 +101,38 @@ def test_fused_diff_kernel_equality(setup):
         scale = max(np.abs(a).max(), 1.0)
         assert np.abs(a - b).max() < 1e-9 * scale, (
             name, np.abs(a - b).max())
+
+
+@pytest.mark.parametrize("family", ["classical", "augmented"])
+def test_channel_diff_point3d_matches_analytic(setup, family):
+    """nc=3 (ContactModel3D + friction cone) channel algebra == the
+    vector-analytic knot diff — the point3d family's fused-kernel body
+    (reference crocoddyl_classical.py:944-1018)."""
+    import dataclasses
+    model, W, traj, q0, tau_g, R_des = setup
+    W3 = dataclasses.replace(W, contact_model="point3d",
+                             w_friction_cone=2.0e2, mu=0.6,
+                             friction_margin=1.0e-3)
+    nx = 21 if family == "augmented" else 14
+    mk = make_augmented_knot if family == "augmented" else make_classical_knot
+    knot = mk(model, W3, surface=True, deriv_mode="analytic",
+              calc_mode="vector")
+    ch = diff_via_channels(model, W3, surface=True, family=family)
+    y0 = np.concatenate([q0, np.zeros(7)] + ([tau_g] if nx == 21 else []))
+    refs_run, _ = build_problem_refs(
+        traj, 1.2, 4, W3.dt_ocp, jnp.asarray(y0[:14]), jnp.asarray(tau_g),
+        jnp.asarray(R_des), y_ref=(jnp.asarray(y0) if nx == 21 else None),
+        dtype=jnp.float64)
+    ref0 = jax.tree.map(lambda l: l[0], refs_run)
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        x = jnp.asarray(y0 + 0.1 * rng.normal(size=nx))
+        u = jnp.asarray(tau_g + 2.0 * rng.normal(size=7))
+        Da = knot.diff(ref0, x, u)
+        Dc = ch(ref0, x, u)
+        for name in Da._fields:
+            a = np.asarray(getattr(Da, name))
+            c = np.asarray(getattr(Dc, name))
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - c).max() < 1e-11 * scale, (
+                family, name, np.abs(a - c).max())

@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def capture(B=256, outdir="/tmp/ffmpc_glue_trace"):
+def capture(B=256, outdir="/tmp/ffmpc_glue_trace", impl="vmap"):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpc_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -36,7 +36,8 @@ def capture(B=256, outdir="/tmp/ffmpc_glue_trace"):
                        ff_alpha_ocp=ep0.ff_alpha_ocp,
                        ff_alpha_ctrl=ep0.ff_alpha_ctrl)
     solve = jax.jit(make_batched_solve_fn(model, W, settings, traj, ep, q0,
-                                          surface=True, dtype=dtype))
+                                          surface=True, dtype=dtype,
+                                          solve_impl=impl))
     tau_g = np.asarray(gravity_torque(model, jnp.asarray(q0, dtype)))
     y0 = np.concatenate([q0, np.zeros(7), tau_g]).astype(np.float32)
     rng = np.random.default_rng(0)
@@ -86,4 +87,5 @@ def analyze(outdir):
 if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ffmpc_glue_trace"
-    analyze(capture(B, outdir))
+    impl = sys.argv[3] if len(sys.argv) > 3 else "vmap"
+    analyze(capture(B, outdir, impl))
