@@ -118,7 +118,7 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
 
     unc = uncertainty
 
-    def tick(carry, t):
+    def tick(carry, t, table=table):
         plant, xs_w, us_w, tau_prev, reg = carry
         q, v = plant.q, plant.v
         if unc is not None:
@@ -215,16 +215,23 @@ def make_episode_fn(model: PandaModel, W: OCPWeights, settings: FDDPSettings,
         reg0 = jnp.asarray(settings.reg_init, dtype)
         return (plant0, xs0, us0, tau_g, reg0)
 
-    def episode_chunk(carry, t0, n_ticks):
+    def episode_chunk(carry, t0, n_ticks, table_v=None):
         """Advance n_ticks (static) from time t0; for chunked long
         episodes that must fit the device execution window, with host
-        checkpointing between chunks (utils/checkpoint.py)."""
-        ts = t0 + jnp.arange(n_ticks, dtype=dtype) * ep.dt_mpc
-        return jax.lax.scan(tick, carry, ts)
+        checkpointing between chunks (utils/checkpoint.py).
 
-    def episode(q0):
+        ``table_v`` (optional) overrides the closed-over TableParams as a
+        TRACED argument: sweeps over table geometry (tilted scenarios,
+        force-law sensitivity) then share ONE compiled executable instead
+        of re-embedding the constants per configuration."""
+        tbl = table if table_v is None else table_v
+        ts = t0 + jnp.arange(n_ticks, dtype=dtype) * ep.dt_mpc
+        return jax.lax.scan(lambda c, t: tick(c, t, table=tbl), carry, ts)
+
+    def episode(q0, table_v=None):
         _, telem = episode_chunk(episode_init(q0),
-                                 jnp.asarray(0.0, dtype), ep.n_ticks)
+                                 jnp.asarray(0.0, dtype), ep.n_ticks,
+                                 table_v=table_v)
         return telem
 
     episode.init = episode_init
