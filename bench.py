@@ -98,6 +98,9 @@ def main():
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         rate = B / dt
+        import sys as _sys
+        print(f"B={B}: {rate:.1f} solves/s ({dt * 1e3:.2f} ms/batch)",
+              file=_sys.stderr, flush=True)
         if rate > best:
             best, best_B, lat_ms = rate, B, dt * 1e3
             # iteration-count honesty: solves/s is only comparable at the
