@@ -318,41 +318,55 @@ def _backward_kernel(gn_hbm, dyn_hbm, term_ref, kout_hbm, kffout_hbm,
         return jax.lax.fori_loop(
             0, nx, body, jnp.zeros((astride, sstride, Bt), dtype))
 
-    def step(it, carry):
+    # -------- double-buffered input streaming --------------------------
+    # The sweep is DMA-latency-bound: one knot's GN block (C_gn rows) must
+    # land in VMEM before its ~30k-FLOP compute.  Two scr buffers
+    # alternate: while knot t computes from buffer A, knot t-1 streams
+    # into buffer B.  The knot loop runs PAIRS with static buffer bases
+    # (and static DMA semaphores) so no dynamic scratch indexing is
+    # needed.
+    BASE1 = off.total
+
+    def start_in(t, base, sg, sd):
+        pltpu.make_async_copy(
+            gn_hbm.at[t, :, pl.ds(b0, Bt)], scr.at[pl.ds(base, C_gn)],
+            sems.at[sg]).start()
+        pltpu.make_async_copy(
+            dyn_hbm.at[t, :, pl.ds(b0, Bt)],
+            scr.at[pl.ds(base + C_gn, C_dyn)], sems.at[sd]).start()
+
+    def wait_in(t, base, sg, sd):
+        pltpu.make_async_copy(
+            gn_hbm.at[t, :, pl.ds(b0, Bt)], scr.at[pl.ds(base, C_gn)],
+            sems.at[sg]).wait()
+        pltpu.make_async_copy(
+            dyn_hbm.at[t, :, pl.ds(b0, Bt)],
+            scr.at[pl.ds(base + C_gn, C_dyn)], sems.at[sd]).wait()
+
+    def compute(carry, t, base):
         Vx, dg, dq, qu2, bad = carry
-        t = N - 1 - it
-        cin1 = pltpu.make_async_copy(
-            gn_hbm.at[t, :, pl.ds(b0, Bt)], scr.at[pl.ds(0, C_gn)],
-            sems.at[0])
-        cin2 = pltpu.make_async_copy(
-            dyn_hbm.at[t, :, pl.ds(b0, Bt)], scr.at[pl.ds(C_gn, C_dyn)],
-            sems.at[4])
-        cin1.start()
-        cin2.start()
-        cin1.wait()
-        cin2.wait()
-
-        Fx = scr[off.Fx:off.Fx + nx * sx, :].reshape(nx, sx, Bt)[:, :nx, :]
-        Fu = scr[off.Fu:off.Fu + nx * su, :].reshape(nx, su, Bt)[:, :nu, :]
-        Lx = scr[off.Lx:off.Lx + nx, :]
-        Lu = scr[off.Lu:off.Lu + nu, :]
-        Lxx = scr[off.Lxx:off.Lxx + nx * sx, :].reshape(
+        o_Fx, o_Fu = base + off.Fx, base + off.Fu
+        Fx = scr[o_Fx:o_Fx + nx * sx, :].reshape(nx, sx, Bt)[:, :nx, :]
+        Fu = scr[o_Fu:o_Fu + nx * su, :].reshape(nx, su, Bt)[:, :nu, :]
+        Lx = scr[base + off.Lx:base + off.Lx + nx, :]
+        Lu = scr[base + off.Lu:base + off.Lu + nu, :]
+        Lxx = scr[base + off.Lxx:base + off.Lxx + nx * sx, :].reshape(
             nx, sx, Bt)[:, :nx, :]
-        Lxu = scr[off.Lxu:off.Lxu + nx * su, :].reshape(
+        Lxu = scr[base + off.Lxu:base + off.Lxu + nx * su, :].reshape(
             nx, su, Bt)[:, :nu, :]
-        Luu = scr[off.Luu:off.Luu + nu * su, :].reshape(
+        Luu = scr[base + off.Luu:base + off.Luu + nu * su, :].reshape(
             nu, su, Bt)[:, :nu, :]
-        fs_t = scr[off.fs:off.fs + nx, :]
-        lb = scr[off.lb:off.lb + nu, :]
-        ub = scr[off.ub:off.ub + nu, :]
+        fs_t = scr[base + off.fs:base + off.fs + nx, :]
+        lb = scr[base + off.lb:base + off.lb + nu, :]
+        ub = scr[base + off.ub:base + off.ub + nu, :]
 
-        W = _mm_vsym_scr(off.Fx, sx)          # Vxx @ Fx  padded (sx,sx,Bt)
-        U = _mm_vsym_scr(off.Fu, su)          # Vxx @ Fu  padded (sx,su,Bt)
+        W = _mm_vsym_scr(o_Fx, sx)            # Vxx @ Fx  padded (sx,sx,Bt)
+        U = _mm_vsym_scr(o_Fu, su)            # Vxx @ Fu  padded (sx,su,Bt)
         wstage[:, :] = W[:nx].reshape(nx * sx, Bt)
         u2stage[:, :] = U[:nx].reshape(nx * su, Bt)
-        Qxx = Lxx + _mmT_scr_stage(off.Fx, sx, wstage, sx)[:nx, :nx, :]
-        Qxu = Lxu + _mmT_scr_stage(off.Fx, sx, u2stage, su)[:nx, :nu, :]
-        Quu = (Luu + _mmT_scr_stage(off.Fu, su, u2stage, su)[:nu, :nu, :]
+        Qxx = Lxx + _mmT_scr_stage(o_Fx, sx, wstage, sx)[:nx, :nx, :]
+        Qxu = Lxu + _mmT_scr_stage(o_Fx, sx, u2stage, su)[:nx, :nu, :]
+        Quu = (Luu + _mmT_scr_stage(o_Fu, su, u2stage, su)[:nu, :nu, :]
                + dm_u * ureg)
         # vector-sized contractions: static slices on values compile fine
         Qx = Lx + _mvT(Fx, Vx)
@@ -408,9 +422,31 @@ def _backward_kernel(gn_hbm, dyn_hbm, term_ref, kout_hbm, kffout_hbm,
         c3.wait()
         return (Vx_new, dg, dq, qu2, bad)
 
+    def pair(j, carry):
+        tA = N - 1 - 2 * j
+        start_in(tA - 1, BASE1, 5, 6)        # prefetch knot B
+        wait_in(tA, 0, 0, 4)
+        carry = compute(carry, tA, 0)
+        nxtA = tA - 2
+
+        @pl.when(nxtA >= 0)
+        def _():
+            start_in(nxtA, 0, 0, 4)          # prefetch next pair's knot A
+        wait_in(tA - 1, BASE1, 5, 6)
+        carry = compute(carry, tA - 1, BASE1)
+        return carry
+
     zero = jnp.zeros((1, Bt), dtype)
     carry0 = (Vx, dg0, dq0, zero, zero)
-    _, dg, dq, qu2, bad = jax.lax.fori_loop(0, N, step, carry0)
+    if N >= 1:
+        start_in(N - 1, 0, 0, 4)
+    carry = jax.lax.fori_loop(0, N // 2, pair, carry0)
+    if N % 2:
+        # odd N: the last knot (t=0, buffer A) was prefetched by the final
+        # pair (or by the pre-loop start when N == 1)
+        wait_in(0, 0, 0, 4)
+        carry = compute(carry, 0, 0)
+    _, dg, dq, qu2, bad = carry
 
     scal_ref[:, :] = jnp.zeros_like(scal_ref)
     scal_ref[0:1, :] = dg
@@ -533,14 +569,14 @@ def _backward_core(gn, dyn, term, *, nx, nu, N, Bt, boxqp_iters, kgain_reg,
             jax.ShapeDtypeStruct((8, Bp), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((off.total, Bt), dtype),
+            pltpu.VMEM((2 * off.total, Bt), dtype),  # double-buffered in
             pltpu.VMEM((_pad8(nu * nx), Bt), dtype),
             pltpu.VMEM((_pad8(nu), Bt), dtype),
             pltpu.VMEM((sx, Bt), dtype),            # wfs_stage (w rows)
             pltpu.VMEM((nx * sx, Bt), dtype),       # wstage (strided W)
             pltpu.VMEM((nx * su, Bt), dtype),       # u2stage (strided U)
             pltpu.VMEM((nx * sx, Bt), dtype),       # vsym (strided Vxx)
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
     )(gn, dyn, term)
