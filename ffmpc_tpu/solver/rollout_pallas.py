@@ -107,17 +107,33 @@ def _rollout_kernel(refs_hbm, plan_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
         fs_next = plan_arr[o_fs:o_fs + nx, :]
         return ref, x_nom, u_nom, K, kff, fs_next
 
-    def step(t, carry):
+    # double-buffered input streaming (same pattern as the backward
+    # kernel): knot t computes from buffer A while knot t+1 streams into
+    # buffer B; the loop runs pairs so buffer bases / DMA semaphores
+    # stay static
+    CR = scr_r.shape[0] // 2
+    CPl = scr_p.shape[0] // 2
+
+    def start_in(t, base_r, base_p, sr, sp):
+        pltpu.make_async_copy(
+            refs_hbm.at[t, :, pl.ds(b0, Bt)],
+            scr_r.at[pl.ds(base_r, CR)], sems.at[sr]).start()
+        pltpu.make_async_copy(
+            plan_hbm.at[t, :, pl.ds(b0, Bt)],
+            scr_p.at[pl.ds(base_p, CPl)], sems.at[sp]).start()
+
+    def wait_in(t, base_r, base_p, sr, sp):
+        pltpu.make_async_copy(
+            refs_hbm.at[t, :, pl.ds(b0, Bt)],
+            scr_r.at[pl.ds(base_r, CR)], sems.at[sr]).wait()
+        pltpu.make_async_copy(
+            plan_hbm.at[t, :, pl.ds(b0, Bt)],
+            scr_p.at[pl.ds(base_p, CPl)], sems.at[sp]).wait()
+
+    def compute(t, carry, base_r, base_p):
         x, cost_acc = carry
-        cr = pltpu.make_async_copy(
-            refs_hbm.at[t, :, pl.ds(b0, Bt)], scr_r, sems.at[0])
-        cp = pltpu.make_async_copy(
-            plan_hbm.at[t, :, pl.ds(b0, Bt)], scr_p, sems.at[3])
-        cr.start()
-        cp.start()
-        cr.wait()
-        cp.wait()
-        ref, x_nom, u_nom, K, kff, fs_next = unpack_knot(scr_r[:], scr_p[:])
+        ref, x_nom, u_nom, K, kff, fs_next = unpack_knot(
+            scr_r[base_r:base_r + CR, :], scr_p[base_p:base_p + CPl, :])
 
         # stash the pre-step state: xs_try[t] = x
         xstage[0:nx * A, :] = x.reshape(nx * A, Bt)
@@ -150,7 +166,28 @@ def _rollout_kernel(refs_hbm, plan_hbm, glob_ref, xs_hbm, us_hbm, cost_ref,
         cu.wait()
         return (xnext, cost_acc + cost)
 
-    x, cost_acc = jax.lax.fori_loop(0, N, step, (x, cost_acc))
+    def pair(j, carry):
+        tA = 2 * j
+        start_in(tA + 1, CR, CPl, 4, 5)      # prefetch knot B
+        wait_in(tA, 0, 0, 0, 3)
+        carry = compute(tA, carry, 0, 0)
+        nxtA = tA + 2
+
+        @pl.when(nxtA < N)
+        def _():
+            start_in(nxtA, 0, 0, 0, 3)       # prefetch next pair's knot A
+        wait_in(tA + 1, CR, CPl, 4, 5)
+        carry = compute(tA + 1, carry, CR, CPl)
+        return carry
+
+    if N >= 1:
+        start_in(0, 0, 0, 0, 3)
+    x, cost_acc = jax.lax.fori_loop(0, N // 2, pair, (x, cost_acc))
+    if N % 2:
+        # odd N: the last knot (t=N-1, buffer A) was prefetched by the
+        # final pair (or by the pre-loop start when N == 1)
+        wait_in(N - 1, 0, 0, 0, 3)
+        x, cost_acc = compute(N - 1, (x, cost_acc), 0, 0)
 
     xstage[0:nx * A, :] = x.reshape(nx * A, Bt)
     cx = pltpu.make_async_copy(
@@ -290,11 +327,11 @@ def _rollout_core(refs_p, plan, glob, *, calc, term_calc, ref_meta,
             jax.ShapeDtypeStruct((_pad8(A), Bp), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CR, Bt), dtype),
-            pltpu.VMEM((CPl, Bt), dtype),
+            pltpu.VMEM((2 * CR, Bt), dtype),     # double-buffered refs
+            pltpu.VMEM((2 * CPl, Bt), dtype),    # double-buffered plan
             pltpu.VMEM((_pad8(nx * A), Bt), dtype),
             pltpu.VMEM((_pad8(nu * A), Bt), dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
     )(refs_p, plan, glob)
